@@ -1,0 +1,150 @@
+"""Fused conv + BatchNorm + LeakyReLU blocks, TPU-first (SURVEY.md §2.6).
+
+The reference builds every backbone from Conv → BatchNorm → LeakyReLU(0.1)
+with bias-free convs when BN is on (darknet convention; reference
+``model/yolo2.py`` conv blocks (recon)).  Here the block is a pair of pure
+functions over pytrees:
+
+* ``conv_init``  — parameter/state construction (He init, BN γ=1 β=0);
+* ``conv_apply`` — NHWC conv via ``lax.conv_general_dilated`` in a configurable
+  compute dtype (bfloat16 on TPU so the MXU runs at full rate, f32 accumulate
+  via ``preferred_element_type``), with train-mode batch statistics returned
+  functionally instead of mutated in place.
+
+For inference, ``fold_bn`` folds the BN affine into the conv weights once so
+the eval/detect/bench path is a single conv+bias+LeakyReLU per block — XLA
+fuses the bias and activation into the convolution epilogue; there is no
+BatchNorm at all on the hot path.
+
+Parameters are stored float32 (master copy); casting to the compute dtype
+happens inside apply so optimizers and checkpoints stay full precision.
+
+Layout conventions: activations NHWC, weights HWIO — the TPU-native conv
+layouts, as opposed to the reference's NCHW/OIHW torch layouts.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["conv_init", "conv_apply", "fold_bn", "leaky_relu", "max_pool", "BNConfig"]
+
+Params = dict[str, Any]
+
+
+def leaky_relu(x, slope=0.1):
+    """Darknet's leaky activation."""
+    return jnp.where(x >= 0, x, slope * x)
+
+
+class BNConfig:
+    """Batch-norm hyperparameters from the ``[batch_norm]`` section."""
+
+    __slots__ = ("enable", "eps", "momentum")
+
+    def __init__(self, enable: bool = True, eps: float = 1e-5, momentum: float = 0.01):
+        self.enable = enable
+        self.eps = eps
+        self.momentum = momentum
+
+    @classmethod
+    def from_config(cls, config):
+        if config is None or not config.has_section("batch_norm"):
+            return cls()
+        return cls(
+            enable=config.getboolean("batch_norm", "enable", fallback=True),
+            eps=config.getfloat("batch_norm", "eps", fallback=1e-5),
+            momentum=config.getfloat("batch_norm", "momentum", fallback=0.01),
+        )
+
+
+def conv_init(key, in_ch: int, out_ch: int, ksize: int, use_bn: bool = True,
+              groups: int = 1):
+    """Init one conv(+BN) block → (params, state) dicts.
+
+    params: ``w`` (k, k, in/groups, out) f32 [+ ``b`` when no BN,
+    + ``gamma``/``beta`` when BN].  state: BN running ``mean``/``var``.
+    """
+    fan_in = ksize * ksize * in_ch // groups
+    w = jax.random.normal(key, (ksize, ksize, in_ch // groups, out_ch), jnp.float32)
+    w = w * jnp.sqrt(2.0 / fan_in)
+    params: Params = {"w": w}
+    state: Params = {}
+    if use_bn:
+        params["gamma"] = jnp.ones((out_ch,), jnp.float32)
+        params["beta"] = jnp.zeros((out_ch,), jnp.float32)
+        state["mean"] = jnp.zeros((out_ch,), jnp.float32)
+        state["var"] = jnp.ones((out_ch,), jnp.float32)
+    else:
+        params["b"] = jnp.zeros((out_ch,), jnp.float32)
+    return params, state
+
+
+def _conv(x, w, stride: int, groups: int, compute_dtype):
+    return jax.lax.conv_general_dilated(
+        x.astype(compute_dtype), w.astype(compute_dtype),
+        window_strides=(stride, stride), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def conv_apply(params: Params, state: Params, x, *, stride: int = 1, groups: int = 1,
+               act: bool = True, bn: BNConfig | None = None, train: bool = False,
+               compute_dtype=jnp.bfloat16):
+    """Apply conv → BN → LeakyReLU. Returns (y, new_state).
+
+    Train mode normalizes by batch statistics and returns EMA-updated running
+    stats; eval mode uses running stats (prefer ``fold_bn`` + this with
+    BN-free params for the hot inference path).
+    """
+    bn = bn or BNConfig()
+    y = _conv(x, params["w"], stride, groups, compute_dtype)
+    new_state = state
+    if "gamma" in params and bn.enable:
+        if train:
+            mean = jnp.mean(y, axis=(0, 1, 2))
+            var = jnp.var(y, axis=(0, 1, 2))
+            m = bn.momentum
+            new_state = {
+                "mean": (1 - m) * state["mean"] + m * mean,
+                "var": (1 - m) * state["var"] + m * var,
+            }
+        else:
+            mean, var = state["mean"], state["var"]
+        inv = jax.lax.rsqrt(var + bn.eps) * params["gamma"]
+        y = (y - mean) * inv + params["beta"]
+    elif "b" in params:
+        y = y + params["b"]
+    if act:
+        y = leaky_relu(y)
+    return y.astype(compute_dtype), new_state
+
+
+def fold_bn(params: Params, state: Params, eps: float = 1e-5) -> Params:
+    """Fold BN affine+stats into the conv → inference-only {w, b} params.
+
+    w'[..., o] = w[..., o] * γ_o / √(σ²_o + ε);  b' = β − γ·μ/√(σ²+ε).
+    After folding, the block is conv+bias+activation — one fused XLA op.
+    """
+    if "gamma" not in params:
+        return dict(params)
+    scale = params["gamma"] / jnp.sqrt(state["var"] + eps)
+    return {
+        "w": params["w"] * scale[None, None, None, :],
+        "b": params["beta"] - state["mean"] * scale,
+    }
+
+
+def max_pool(x, size: int = 2, stride: int | None = None):
+    """Max pooling with darknet semantics (SAME padding for the stride-1 tail
+    pool in Tiny-Darknet, VALID otherwise)."""
+    stride = size if stride is None else stride
+    padding = "SAME" if stride == 1 else "VALID"
+    return jax.lax.reduce_window(
+        x, -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
+        jax.lax.max, (1, size, size, 1), (1, stride, stride, 1), padding)

@@ -1,0 +1,107 @@
+"""Tiny plan executor shared by all model families.
+
+A model is an ordered *plan* — a list of ops over one running tensor plus
+named slots.  The plan is data: the same table drives ``init``, ``apply``,
+BN folding, the darknet ``.weights`` importer (conv order = plan order) and
+the channel-pruning tool.  This replaces the reference's nn.Module graph with
+something XLA-transparent: executing a plan under ``jit`` traces to a single
+fused program.
+
+Ops:
+    ("conv", LayerDef)        conv(+BN+leaky) block
+    ("pool", size, stride)    max pool
+    ("mark", key)             save the running tensor into slot ``key``
+    ("load", key)             replace the running tensor with slot ``key``
+    ("reorg", stride)         darknet space-to-depth (ops/reorg.py)
+    ("concat", key)           concat slot ``key`` onto the running tensor
+"""
+
+from __future__ import annotations
+
+import jax
+
+from ..ops.reorg import reorg
+from . import LayerDef
+from .blocks import BNConfig, conv_apply, conv_init, fold_bn, max_pool
+
+__all__ = ["plan_convs", "init_plan", "run_plan", "fold_plan", "resolve_in_channels"]
+
+
+def plan_convs(plan) -> list[LayerDef]:
+    """Conv layers in plan order — also the darknet weight-file order."""
+    return [op[1] for op in plan if op[0] == "conv"]
+
+
+def resolve_in_channels(plan, in_ch: int) -> None:
+    """Walk the plan symbolically to fill each LayerDef's ``in_ch``.
+
+    Width changes from pruning propagate automatically because downstream
+    in_ch always derives from upstream out_ch (the ConfigChannels mechanism,
+    SURVEY.md §2.19).
+    """
+    ch = in_ch
+    slots: dict[str, int] = {}
+    for op in plan:
+        kind = op[0]
+        if kind == "conv":
+            d = op[1]
+            d.in_ch = ch
+            if d.groups == -1:  # depthwise marker
+                d.groups = ch
+            ch = d.out_ch
+        elif kind == "mark":
+            slots[op[1]] = ch
+        elif kind == "load":
+            ch = slots[op[1]]
+        elif kind == "reorg":
+            ch *= op[1] * op[1]
+        elif kind == "concat":
+            ch += slots[op[1]]
+
+
+def init_plan(rng, plan):
+    """Initialize (params, state) pytrees for every conv in the plan."""
+    defs = plan_convs(plan)
+    keys = jax.random.split(rng, len(defs))
+    params, state = {}, {}
+    for key, d in zip(keys, defs):
+        p, s = conv_init(key, d.in_ch, d.out_ch, d.ksize, use_bn=d.bn, groups=d.groups)
+        params[d.name] = p
+        if s:
+            state[d.name] = s
+    return params, state
+
+
+def run_plan(plan, params, state, x, *, bn: BNConfig, train: bool, compute_dtype):
+    """Execute the plan → (output tensor, new_state)."""
+    slots = {}
+    new_state = dict(state)
+    x = x.astype(compute_dtype)
+    for op in plan:
+        kind = op[0]
+        if kind == "conv":
+            d = op[1]
+            x, ns = conv_apply(params[d.name], state.get(d.name, {}), x,
+                               stride=d.stride, groups=d.groups, act=d.act,
+                               bn=bn, train=train, compute_dtype=compute_dtype)
+            if ns:
+                new_state[d.name] = ns
+        elif kind == "pool":
+            x = max_pool(x, op[1], op[2])
+        elif kind == "mark":
+            slots[op[1]] = x
+        elif kind == "load":
+            x = slots[op[1]]
+        elif kind == "reorg":
+            x = reorg(x, op[1])
+        elif kind == "concat":
+            x = jax.numpy.concatenate([x, slots[op[1]]], axis=-1)
+        else:
+            raise ValueError(f"unknown plan op {kind!r}")
+    return x, new_state
+
+
+def fold_plan(plan, params, state, eps: float):
+    """Fold BN into conv weights for every block → inference-only params."""
+    return {d.name: fold_bn(params[d.name], state.get(d.name, {}), eps)
+            for d in plan_convs(plan)}

@@ -1,0 +1,50 @@
+"""Inference wrapper: backbone forward + decode (+ optional NMS), one program.
+
+The reference exposes an ``Inference`` nn.Module wrapping the dnn so that
+eval, detect and export all share one decode (reference
+``model/__init__.py: Inference`` (recon), SURVEY.md §2.9).  Here it is a thin
+functional wrapper that (a) folds BatchNorm into conv weights once, and
+(b) jits forward → decode → postprocess into a single XLA program per input
+size, so batched inference has zero host round-trips (BASELINE config 2).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.decode import Detections, decode
+from ..ops.postprocess import PostProcessed, postprocess
+
+__all__ = ["Inference"]
+
+
+class Inference:
+    """Shared forward+decode for eval/detect/export paths."""
+
+    def __init__(self, model):
+        self.model = model
+        self.anchors = jnp.asarray(model.anchors)
+
+    def fold(self, params, state):
+        return self.model.fold(params, state)
+
+    def __call__(self, folded, images) -> Detections:
+        raw = self.model.apply_folded(folded, images)
+        return decode(raw, self.anchors)
+
+    def detect_fn(self, threshold: float, overlap: float, topk: int):
+        """Build the fully-fused jitted (folded, images) → PostProcessed fn."""
+
+        @jax.jit
+        def run(folded, images) -> PostProcessed:
+            det = self(folded, images)
+            return postprocess(det, threshold, overlap, topk)
+
+        return run
+
+    def train_forward(self, params, state, images):
+        """Unfolded forward for the training loss (returns raw + new state)."""
+        return self.model.apply(params, state, images, train=True)
