@@ -89,6 +89,10 @@ def parse_attr(path: str) -> Any:
     stored as dotted paths (reference ``utils.parse_attr`` (recon)).
     """
     path = path.strip()
+    try:  # whole path may itself be a module (e.g. a dataset module)
+        return importlib.import_module(path)
+    except ImportError:
+        pass
     module_name, _, attr = path.rpartition(".")
     if not module_name:
         raise ValueError(f"cannot resolve bare name {path!r}; need a dotted path")

@@ -1,0 +1,88 @@
+"""Background-thread batch loader with device prefetch (SURVEY.md §2.4, §7
+"Host input pipeline throughput").
+
+The reference uses forked DataLoader workers; here decode parallelism comes
+from a thread pool (cv2's JPEG decode releases the GIL) and batches are
+assembled ahead of consumption into a bounded queue, so host IO overlaps
+device compute.  ``prefetch_to_device`` keeps one batch in flight on the
+accelerator (double buffering against HBM).
+
+Multi-scale note: the loader yields *size-agnostic* host batches (fixed
+canvas); the train loop picks the bucketed output size and calls the fused
+augment graph — so one epoch mixes resolutions without touching the loader.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import numpy as np
+
+from .dataset import collate
+
+__all__ = ["Loader", "prefetch_to_device"]
+
+
+class Loader:
+    """Iterates shuffled, collated host batches forever (or one epoch)."""
+
+    def __init__(self, dataset, batch_size: int, *, workers: int = 3, seed: int = 0,
+                 shuffle: bool = True, drop_last: bool = True, depth: int = 3):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.workers = max(1, workers)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.depth = depth
+        self.rng = np.random.default_rng(seed)
+
+    def _epoch_order(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        return order
+
+    def _batches(self, order):
+        b = self.batch_size
+        end = len(order) - (len(order) % b if self.drop_last else 0)
+        for i in range(0, end, b):
+            yield order[i:i + b]
+
+    def epoch(self):
+        """One pass over the dataset as collated numpy batches."""
+        stop = object()
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(self.workers) as pool:
+                    for idxs in self._batches(self._epoch_order()):
+                        items = list(pool.map(self.dataset.load, idxs))
+                        q.put(collate(items))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+    def __iter__(self):
+        while True:
+            yield from self.epoch()
+
+
+def prefetch_to_device(iterator, size: int = 2):
+    """Keep ``size`` batches in flight on the default device."""
+    buf = []
+    for batch in iterator:
+        buf.append(jax.device_put(batch))
+        if len(buf) == size:
+            yield buf.pop(0)
+    yield from buf

@@ -1,0 +1,235 @@
+"""Fused on-device augmentation graph (SURVEY.md §2.5; BASELINE north_star:
+"the image ingest path … becomes a fused JAX/XLA preprocessing graph").
+
+The reference applies per-image Python transforms in DataLoader workers
+(reference ``transform/`` package (recon)): darknet-style jitter crop, random
+horizontal flip, HSV distortion, resize, normalize — with joint bbox
+co-transforms.  Here the *whole* batch pipeline after JPEG decode is one
+jitted XLA program per bucketed output size:
+
+    gray canvas (B,C,C,3) u8 ──┐
+    image sizes (B,2)          ├─► crop/resize (scale_and_translate) ─► flip
+    boxes (B,G,2·2) + valid ───┘     └► HSV jitter ─► [0,1] f32  + boxes′
+
+Semantics match darknet training (paper §Training, PAPERS.md:9): crop borders
+jittered by ±jitter·(h,w) (pad regions fill gray), hue shifted uniformly in
+±hue (wrapping), saturation/value scaled by s or 1/s with s ~ U(1, smax),
+flip with p=0.5.  Boxes are clipped to the crop and degenerate rows are
+invalidated.  Eval/detect use the deterministic letterbox path, whose
+(scale, pad) output inverts detections back to original pixel space.
+
+Host-side contract: images are pasted *centered* into a gray(127) canvas so
+jittered crops that extend past the image sample gray, not garbage; sampled
+pads are clamped to the canvas margin.
+
+The config surface keeps the reference's dotted-path transform list
+(``[transform] train``); the marker classes below carry the per-op params.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import parse_attr_list
+
+__all__ = ["RandomCrop", "RandomFlipHorizontally", "HSVJitter", "TrainAugment",
+           "letterbox", "letterbox_batch", "rgb_to_hsv", "hsv_to_rgb"]
+
+
+# --------------------------------------------------------------------------
+# color space
+# --------------------------------------------------------------------------
+
+def rgb_to_hsv(rgb):
+    """(…, 3) float [0,1] RGB → HSV, all vectorized."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    mx = jnp.max(rgb, axis=-1)
+    mn = jnp.min(rgb, axis=-1)
+    d = mx - mn
+    safe_d = jnp.where(d > 0, d, 1.0)
+    h = jnp.where(mx == r, (g - b) / safe_d % 6.0,
+                  jnp.where(mx == g, (b - r) / safe_d + 2.0, (r - g) / safe_d + 4.0))
+    h = jnp.where(d > 0, h / 6.0, 0.0)
+    s = jnp.where(mx > 0, d / jnp.where(mx > 0, mx, 1.0), 0.0)
+    return jnp.stack([h, s, mx], axis=-1)
+
+
+def hsv_to_rgb(hsv):
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1 - s)
+    q = v * (1 - f * s)
+    t = v * (1 - (1 - f) * s)
+    i = i.astype(jnp.int32) % 6
+    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
+    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
+    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    return jnp.stack([r, g, b], axis=-1)
+
+
+# --------------------------------------------------------------------------
+# transform marker classes — the ini-visible names
+# --------------------------------------------------------------------------
+
+@dataclass
+class RandomCrop:
+    """Darknet border-jitter crop; pads sample the gray canvas."""
+
+    jitter: float = 0.2
+
+
+@dataclass
+class RandomFlipHorizontally:
+    prob: float = 0.5
+
+
+@dataclass
+class HSVJitter:
+    hue: float = 0.1
+    saturation: float = 1.5
+    exposure: float = 1.5
+
+
+def _rand_scale(key, smax):
+    """darknet rand_scale: s ~ U(1, smax), inverted with p=0.5."""
+    k1, k2 = jax.random.split(key)
+    s = jax.random.uniform(k1, (), minval=1.0, maxval=smax)
+    return jnp.where(jax.random.bernoulli(k2), s, 1.0 / s)
+
+
+# --------------------------------------------------------------------------
+# train-time augmentation
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class TrainAugment:
+    """Config-resolved augmentation parameters; __call__ is the fused graph."""
+
+    crop: bool = True
+    flip: bool = True
+    hsv: bool = True
+    jitter: float = 0.2
+    hue: float = 0.1
+    saturation: float = 1.5
+    exposure: float = 1.5
+    flip_prob: float = 0.5
+
+    @classmethod
+    def from_config(cls, config):
+        names = {type(t).__name__ if not isinstance(t, type) else t.__name__
+                 for t in parse_attr_list(config.get("transform", "train", fallback=""))}
+        return cls(
+            crop="RandomCrop" in names,
+            flip="RandomFlipHorizontally" in names,
+            hsv="HSVJitter" in names,
+            jitter=config.getfloat("transform", "jitter", fallback=0.2),
+            hue=config.getfloat("transform", "hue", fallback=0.1),
+            saturation=config.getfloat("transform", "saturation", fallback=1.5),
+            exposure=config.getfloat("transform", "exposure", fallback=1.5),
+        )
+
+    def _one(self, key, canvas, hw, yx_min, yx_max, valid, out_size: int):
+        """Augment one image. canvas (C,C,3) u8, hw (2,), boxes normalized."""
+        c = canvas.shape[0]
+        s = float(out_size)
+        k_crop, k_flip, k_hue, k_sat, k_val = jax.random.split(key, 5)
+        h, w = hw[0], hw[1]
+        origin = (jnp.asarray([c, c], jnp.float32) - hw) * 0.5  # centered paste
+
+        # -- crop box in image-frame pixels (pt/pl may be negative = pad) --
+        if self.crop:
+            j = self.jitter
+            pads = jax.random.uniform(k_crop, (4,), minval=-j, maxval=j)
+            pads = pads * jnp.asarray([h, h, w, w])
+            pads = jnp.maximum(pads, -origin[jnp.asarray([0, 0, 1, 1])])  # clamp to margin
+            pt, pb, pl, pr = pads[0], pads[1], pads[2], pads[3]
+        else:
+            pt = pb = pl = pr = jnp.float32(0.0)
+        crop_hw = jnp.stack([h - pt - pb, w - pl - pr])
+        crop_origin = origin + jnp.stack([pt, pl])  # canvas coords
+
+        # -- resize crop → (S, S): forward map i·scale + translation --
+        scale = s / crop_hw
+        translation = -crop_origin * scale
+        img = jax.image.scale_and_translate(
+            canvas.astype(jnp.float32) / 255.0, (out_size, out_size, 3), (0, 1),
+            scale, translation, method="linear", antialias=True)
+
+        # -- boxes: image-normalized → crop-normalized --
+        img_px_min = yx_min * hw
+        img_px_max = yx_max * hw
+        off = jnp.stack([pt, pl])
+        new_min = (img_px_min - off) / crop_hw
+        new_max = (img_px_max - off) / crop_hw
+        new_min = jnp.clip(new_min, 0.0, 1.0)
+        new_max = jnp.clip(new_max, 0.0, 1.0)
+        ext = new_max - new_min
+        valid = valid & (ext[:, 0] > 1e-3) & (ext[:, 1] > 1e-3)
+
+        # -- horizontal flip --
+        if self.flip:
+            do = jax.random.bernoulli(k_flip, self.flip_prob)
+            img = jnp.where(do, img[:, ::-1, :], img)
+            fmin = jnp.stack([new_min[:, 0], 1.0 - new_max[:, 1]], axis=1)
+            fmax = jnp.stack([new_max[:, 0], 1.0 - new_min[:, 1]], axis=1)
+            new_min = jnp.where(do, fmin, new_min)
+            new_max = jnp.where(do, fmax, new_max)
+
+        # -- HSV jitter --
+        if self.hsv:
+            dh = jax.random.uniform(k_hue, (), minval=-self.hue, maxval=self.hue)
+            ds = _rand_scale(k_sat, self.saturation)
+            dv = _rand_scale(k_val, self.exposure)
+            hsv = rgb_to_hsv(jnp.clip(img, 0.0, 1.0))
+            hsv = jnp.stack([(hsv[..., 0] + dh) % 1.0,
+                             jnp.clip(hsv[..., 1] * ds, 0.0, 1.0),
+                             jnp.clip(hsv[..., 2] * dv, 0.0, 1.0)], axis=-1)
+            img = hsv_to_rgb(hsv)
+
+        return img, new_min, new_max, valid
+
+    @partial(jax.jit, static_argnames=("self", "out_size"))
+    def __call__(self, key, canvas, hw, yx_min, yx_max, valid, out_size: int):
+        """Batched fused augmentation. canvas (B,C,C,3) u8 → (B,S,S,3) f32."""
+        keys = jax.random.split(key, canvas.shape[0])
+        return jax.vmap(self._one, in_axes=(0, 0, 0, 0, 0, 0, None))(
+            keys, canvas, hw.astype(jnp.float32), yx_min, yx_max, valid, out_size)
+
+
+# --------------------------------------------------------------------------
+# deterministic eval/detect resize
+# --------------------------------------------------------------------------
+
+def _letterbox_one(canvas, hw, out_size: int):
+    c = canvas.shape[0]
+    s = float(out_size)
+    origin = (jnp.asarray([c, c], jnp.float32) - hw) * 0.5
+    scale = jnp.min(s / hw)
+    pad = (s - hw * scale) * 0.5
+    translation = pad - origin * scale
+    img = jax.image.scale_and_translate(
+        canvas.astype(jnp.float32) / 255.0, (out_size, out_size, 3), (0, 1),
+        jnp.stack([scale, scale]), translation, method="linear", antialias=True)
+    return img, scale, pad
+
+
+@partial(jax.jit, static_argnames=("out_size",))
+def letterbox_batch(canvas, hw, out_size: int):
+    """(B,C,C,3) u8 + sizes → letterboxed (B,S,S,3) f32, per-image (scale, pad).
+
+    Detections in output-normalized coords map back to original pixels via
+    ``orig_px = (coord * S - pad) / scale``.
+    """
+    return jax.vmap(_letterbox_one, in_axes=(0, 0, None))(
+        canvas, hw.astype(jnp.float32), out_size)
+
+
+def letterbox(canvas, hw, out_size: int):
+    """Single-image convenience wrapper."""
+    img, scale, pad = letterbox_batch(canvas[None], jnp.asarray(hw)[None], out_size)
+    return img[0], scale[0], pad[0]
