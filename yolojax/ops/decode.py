@@ -61,7 +61,9 @@ def decode(raw: jnp.ndarray, anchors: jnp.ndarray) -> Detections:
     scale = jnp.asarray([h, w], dtype=jnp.float32)
 
     center = (jax.nn.sigmoid(t_yx) + offset) / scale
-    size = anchors.astype(jnp.float32) * jnp.exp(t_hw) / scale
+    # clamp the exp argument: early in training t_hw can wander far enough to
+    # overflow f32 box areas and poison the loss's IoU terms with inf/nan
+    size = anchors.astype(jnp.float32) * jnp.exp(jnp.clip(t_hw, -12.0, 12.0)) / scale
     half = size * 0.5
     yx_min = center - half
     yx_max = center + half

@@ -1,0 +1,78 @@
+"""Optimizer / LR-schedule factories resolved from config dotted paths.
+
+The reference constructs its optimizer and scheduler from dotted paths in the
+``[train]`` section (SURVEY.md §2.13: SGD momentum 0.9, weight decay 5e-4,
+step LR schedule per the paper).  These factories keep that surface —
+``[train] optimizer = yolojax.utils.train.sgd`` — and return optax
+transforms, which compose into the jitted train step (the whole update is
+part of one XLA program, unlike the reference's Python-side optimizer.step).
+"""
+
+from __future__ import annotations
+
+import optax
+
+__all__ = ["sgd", "adam", "step_schedule", "constant_schedule", "build_optimizer"]
+
+
+def step_schedule(config):
+    """Piecewise-constant decay: ``[train] milestones`` steps × ``gamma``."""
+    base = config.getfloat("train", "learning_rate", fallback=1e-3)
+    gamma = config.getfloat("train", "gamma", fallback=0.1)
+    raw = config.get("train", "milestones", fallback="").replace(",", " ").split()
+    milestones = [int(v) for v in raw]
+    return optax.piecewise_constant_schedule(
+        base, {m: gamma for m in milestones})
+
+
+def constant_schedule(config):
+    base = config.getfloat("train", "learning_rate", fallback=1e-3)
+    return optax.constant_schedule(base)
+
+
+def _schedule(config):
+    from ..config import parse_attr
+
+    path = config.get("train", "scheduler", fallback="yolojax.utils.train.step_schedule")
+    return parse_attr(path)(config)
+
+
+def sgd(config) -> optax.GradientTransformation:
+    """SGD + momentum + decoupled weight decay (darknet training recipe)."""
+    parts = []
+    clip = config.getfloat("train", "clip", fallback=0.0)
+    if clip > 0:
+        parts.append(optax.clip_by_global_norm(clip))
+    wd = config.getfloat("train", "weight_decay", fallback=5e-4)
+    if wd > 0:
+        parts.append(optax.add_decayed_weights(wd, mask=_decay_mask))
+    parts.append(optax.sgd(_schedule(config),
+                           momentum=config.getfloat("train", "momentum", fallback=0.9)))
+    return optax.chain(*parts)
+
+
+def adam(config) -> optax.GradientTransformation:
+    parts = []
+    clip = config.getfloat("train", "clip", fallback=0.0)
+    if clip > 0:
+        parts.append(optax.clip_by_global_norm(clip))
+    parts.append(optax.adamw(
+        _schedule(config),
+        weight_decay=config.getfloat("train", "weight_decay", fallback=0.0)))
+    return optax.chain(*parts)
+
+
+def _decay_mask(params):
+    """Weight decay applies to conv kernels only, not BN affine or biases
+    (darknet decays only weights)."""
+    import jax
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: str(path[-1]) == "['w']", params)
+
+
+def build_optimizer(config) -> optax.GradientTransformation:
+    from ..config import parse_attr
+
+    factory = parse_attr(config.get("train", "optimizer", fallback="yolojax.utils.train.sgd"))
+    return factory(config)
