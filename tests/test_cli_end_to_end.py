@@ -1,0 +1,157 @@
+"""End-to-end CLI integration: cache → train → eval → detect → demo_data on a
+synthetic VOC-style dataset (SURVEY.md §4: the e2e smoke tests the reference
+never had)."""
+
+import os
+
+import numpy as np
+import pytest
+
+CLASSES = ["square", "blob"]
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    """Synthetic VOC layout + config overlay; returns (root, config_args)."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("ws")
+    voc = root / "VOC2007"
+    (voc / "ImageSets" / "Main").mkdir(parents=True)
+    (voc / "Annotations").mkdir()
+    (voc / "JPEGImages").mkdir()
+
+    rng = np.random.default_rng(3)
+    ids = []
+    for i in range(6):
+        h, w = 96, 128
+        img = np.full((h, w, 3), 40, np.uint8)
+        # one bright square per image at a random position, class alternates
+        cls = i % 2
+        y0 = int(rng.integers(8, h - 40))
+        x0 = int(rng.integers(8, w - 40))
+        color = (255, 64, 64) if cls == 0 else (64, 255, 64)
+        img[y0:y0 + 32, x0:x0 + 32] = color
+        image_id = f"{i:06d}"
+        ids.append(image_id)
+        cv2.imwrite(str(voc / "JPEGImages" / f"{image_id}.jpg"), img[:, :, ::-1])
+        (voc / "Annotations" / f"{image_id}.xml").write_text(f"""<annotation>
+<size><width>{w}</width><height>{h}</height></size>
+<object><name>{CLASSES[cls]}</name><difficult>0</difficult>
+<bndbox><xmin>{x0 + 1}</xmin><ymin>{y0 + 1}</ymin><xmax>{x0 + 32}</xmax><ymax>{y0 + 32}</ymax></bndbox>
+</object></annotation>""")
+    (voc / "ImageSets" / "Main" / "trainval.txt").write_text("\n".join(ids))
+    (voc / "ImageSets" / "Main" / "val.txt").write_text("\n".join(ids[:4]))
+    (voc / "ImageSets" / "Main" / "test.txt").write_text("\n".join(ids[:4]))
+
+    category = root / "category2"
+    category.write_text("\n".join(CLASSES))
+    anchors = root / "anchors.tsv"
+    anchors.write_text("1.0\t1.0\n2.5\t2.5\n")
+
+    overlay = root / "test.ini"
+    overlay.write_text(f"""[config]
+root = {root}/artifacts
+[cache]
+datasets = yolojax.data.voc
+category = {category}
+voc_roots = {voc}
+[model]
+name = e2e
+dnn = yolojax.models.darknet.Tiny
+anchors = {anchors}
+dtype = float32
+[data]
+batch_size = 2
+max_boxes = 5
+canvas = 160
+sizes = 64,64
+workers = 2
+[train]
+learning_rate = 1e-4
+clip = 5.0
+multi_scale_min = 64
+multi_scale_max = 96
+multi_scale_interval = 2
+prewarm = 0
+warmup_seen = 0
+seed = 0
+[loss]
+threshold = 0.6
+[eval]
+phase = test
+threshold = 0.01
+topk = 10
+batch_size = 2
+[detect]
+threshold = 0.05
+topk = 5
+[summary]
+scalar = 1
+histogram = 0
+image = 2
+[save]
+interval = 1e9
+keep = 3
+""")
+    base = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "config.ini")
+    return root, ["-c", base, str(overlay)]
+
+
+def test_cache_cli(workspace):
+    root, cfg = workspace
+    from yolojax.cli.cache import main
+
+    assert main(cfg) == 0
+    assert (root / "artifacts" / "cache" / "category2" / "train.pkl").exists()
+
+
+def test_train_cli(workspace):
+    from yolojax.cli.train import main
+
+    root, cfg = workspace
+    assert main(cfg + ["--steps", "3"]) == 0
+    model_dir = root / "artifacts" / "model" / "category2" / "Tiny" / "e2e"
+    names = os.listdir(model_dir)
+    assert "3.npz" in names
+    assert "scalars.jsonl" in names
+
+
+def test_train_cli_resume(workspace):
+    from yolojax.cli.train import main
+
+    root, cfg = workspace
+    assert main(cfg + ["--steps", "5", "-r"]) == 0
+    model_dir = root / "artifacts" / "model" / "category2" / "Tiny" / "e2e"
+    assert "5.npz" in os.listdir(model_dir)
+
+
+def test_eval_cli(workspace, capsys):
+    from yolojax.cli.eval import main
+
+    root, cfg = workspace
+    assert main(cfg + ["--size", "64"]) == 0
+    out = capsys.readouterr().out
+    assert "mAP = " in out
+    assert (root / "artifacts" / "model" / "category2" / "Tiny" / "e2e"
+            / "eval.jsonl").exists()
+
+
+def test_detect_cli(workspace):
+    from yolojax.cli.detect import main
+
+    root, cfg = workspace
+    img = str(root / "VOC2007" / "JPEGImages" / "000000.jpg")
+    out = str(root / "det.png")
+    assert main(cfg + ["--size", "64", "-o", out, img]) == 0
+    assert os.path.exists(out)
+
+
+def test_demo_data_cli(workspace):
+    from yolojax.cli.demo_data import main
+
+    root, cfg = workspace
+    out = str(root / "demo")
+    assert main(cfg + ["-n", "2", "--size", "64", "-o", out]) == 0
+    assert len(os.listdir(out)) == 2

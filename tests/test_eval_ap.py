@@ -1,0 +1,97 @@
+"""VOC AP protocol tests (SURVEY.md §2.14): hand-computed golden cases."""
+
+import numpy as np
+
+from yolojax.eval_ap import DetectionRecorder, evaluate, voc_ap
+
+
+def test_voc_ap_perfect_curve():
+    r = np.asarray([0.5, 1.0])
+    p = np.asarray([1.0, 1.0])
+    np.testing.assert_allclose(voc_ap(r, p, use_07_metric=True), 1.0)
+    np.testing.assert_allclose(voc_ap(r, p, use_07_metric=False), 1.0)
+
+
+def test_voc_ap_11_point_vs_continuous():
+    # one TP then one FP: recall [1.0, 1.0], precision [1.0, 0.5] (npos=1)
+    r = np.asarray([1.0, 1.0])
+    p = np.asarray([1.0, 0.5])
+    np.testing.assert_allclose(voc_ap(r, p, True), 1.0)
+    np.testing.assert_allclose(voc_ap(r, p, False), 1.0)
+    # TP at rank 2 of 2: recall [0,1], precision [0, 0.5]
+    r = np.asarray([0.0, 1.0])
+    p = np.asarray([0.0, 0.5])
+    # 11pt: recalls 0..1 all have max precision 0.5 from the envelope → 0.5
+    np.testing.assert_allclose(voc_ap(r, p, True), 0.5)
+    np.testing.assert_allclose(voc_ap(r, p, False), 0.5)
+
+
+def box(y0, x0, y1, x1):
+    return np.asarray([[y0, x0]]), np.asarray([[y1, x1]])
+
+
+def test_single_class_tp_fp_counting():
+    rec = DetectionRecorder(1)
+    gmin = np.asarray([[0.0, 0.0], [0.5, 0.5]])
+    gmax = np.asarray([[0.4, 0.4], [0.9, 0.9]])
+    rec.add_ground_truth("img0", gmin, gmax, np.asarray([0, 0]),
+                         np.asarray([False, False]))
+    # det1: perfect match of gt0; det2: total miss; det3: duplicate of gt0
+    rec.add_detections("img0", np.asarray([[0.0, 0.0]]), np.asarray([[0.4, 0.4]]),
+                       np.asarray([0.9]), np.asarray([0]))
+    rec.add_detections("img0", np.asarray([[0.0, 0.6]]), np.asarray([[0.2, 0.9]]),
+                       np.asarray([0.8]), np.asarray([0]))
+    rec.add_detections("img0", np.asarray([[0.01, 0.0]]), np.asarray([[0.41, 0.4]]),
+                       np.asarray([0.7]), np.asarray([0]))
+    res = evaluate(rec, iou_threshold=0.5, use_07_metric=False)
+    # npos=2; ranks: TP, FP, FP(dup) → recall [.5,.5,.5], prec [1,.5,.33]
+    np.testing.assert_allclose(res["map"], 0.5)
+
+
+def test_difficult_gts_are_ignored():
+    rec = DetectionRecorder(1)
+    rec.add_ground_truth("img0", np.asarray([[0.0, 0.0], [0.5, 0.5]]),
+                         np.asarray([[0.4, 0.4], [0.9, 0.9]]),
+                         np.asarray([0, 0]), np.asarray([False, True]))
+    # detection matching the difficult gt must not count as TP or FP
+    rec.add_detections("img0", np.asarray([[0.5, 0.5]]), np.asarray([[0.9, 0.9]]),
+                       np.asarray([0.9]), np.asarray([0]))
+    # detection matching the easy gt is a TP; npos = 1 (difficult excluded)
+    rec.add_detections("img0", np.asarray([[0.0, 0.0]]), np.asarray([[0.4, 0.4]]),
+                       np.asarray([0.8]), np.asarray([0]))
+    res = evaluate(rec, use_07_metric=False)
+    np.testing.assert_allclose(res["map"], 1.0)
+
+
+def test_multiclass_map_averages():
+    rec = DetectionRecorder(3)
+    for img in ("a", "b"):
+        rec.add_ground_truth(img, np.asarray([[0.0, 0.0]]), np.asarray([[0.5, 0.5]]),
+                             np.asarray([0]), np.asarray([False]))
+    rec.add_ground_truth("a", np.asarray([[0.5, 0.5]]), np.asarray([[1.0, 1.0]]),
+                         np.asarray([1]), np.asarray([False]))
+    # class 0: perfect on both images; class 1: missed entirely (one FP);
+    # class 2: no gts, no dets → excluded from the mean
+    for img in ("a", "b"):
+        rec.add_detections(img, np.asarray([[0.0, 0.0]]), np.asarray([[0.5, 0.5]]),
+                           np.asarray([0.9]), np.asarray([0]))
+    rec.add_detections("b", np.asarray([[0.5, 0.5]]), np.asarray([[1.0, 1.0]]),
+                       np.asarray([0.9]), np.asarray([1]))
+    res = evaluate(rec, use_07_metric=False)
+    np.testing.assert_allclose(res["ap"][0], 1.0)
+    np.testing.assert_allclose(res["ap"][1], 0.0)
+    assert 2 not in res["ap"]
+    np.testing.assert_allclose(res["map"], 0.5)
+
+
+def test_detection_in_gtless_image_is_fp():
+    rec = DetectionRecorder(1)
+    rec.add_ground_truth("a", np.asarray([[0.0, 0.0]]), np.asarray([[0.5, 0.5]]),
+                         np.asarray([0]), np.asarray([False]))
+    rec.add_detections("a", np.asarray([[0.0, 0.0]]), np.asarray([[0.5, 0.5]]),
+                       np.asarray([0.9]), np.asarray([0]))
+    rec.add_detections("zzz-no-gt", np.asarray([[0.0, 0.0]]), np.asarray([[0.5, 0.5]]),
+                       np.asarray([0.95]), np.asarray([0]))
+    res = evaluate(rec, use_07_metric=False)
+    # FP at rank 1, TP at rank 2: recall [0,1], precision [0,.5] → 0.5
+    np.testing.assert_allclose(res["map"], 0.5)

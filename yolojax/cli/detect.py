@@ -1,0 +1,130 @@
+"""``detect`` command: single image / camera detection (SURVEY.md §3.3;
+BASELINE config 1).
+
+Pipeline: read frame → centered gray canvas → letterbox to ``[detect]`` size
+→ folded forward + decode + per-class NMS (one jitted program) → invert the
+letterbox → draw class/conf-labelled boxes.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import jax
+import numpy as np
+
+from ..data.dataset import GRAY
+from ..data.transform import letterbox_batch
+from ..models.inference import Inference
+from ..utils.visualize import draw_boxes
+from . import make_parser, setup
+from .common import build, load_weights_auto
+
+_LOG = logging.getLogger(__name__)
+
+
+def _to_canvas(img: np.ndarray, canvas: int):
+    h, w = img.shape[:2]
+    if max(h, w) > canvas:
+        import cv2
+
+        s = canvas / max(h, w)
+        img = cv2.resize(img, (max(1, int(w * s)), max(1, int(h * s))),
+                         interpolation=cv2.INTER_AREA)
+        h, w = img.shape[:2]
+    out = np.full((canvas, canvas, 3), GRAY, np.uint8)
+    oy, ox = (canvas - h) // 2, (canvas - w) // 2
+    out[oy:oy + h, ox:ox + w] = img
+    return out, np.asarray([h, w], np.float32)
+
+
+def detect_image(config, model, params, state, image: np.ndarray, size: int):
+    """Run detection on one RGB uint8 image → (yx_min, yx_max, cls, conf),
+    normalized to the input image."""
+    threshold = config.getfloat("detect", "threshold", fallback=0.4)
+    overlap = config.getfloat("detect", "overlap", fallback=0.45)
+    topk = config.getint("detect", "topk", fallback=100)
+    inference = Inference(model)
+    folded = inference.fold(params, state)
+    run = inference.detect_fn(threshold, overlap, topk)
+
+    canvas_size = config.getint("data", "canvas", fallback=672)
+    canvas, hw = _to_canvas(image, canvas_size)
+    images, scale, pad = letterbox_batch(canvas[None], hw[None], size)
+    out = jax.device_get(run(folded, images))
+    scale, pad = float(scale[0]), np.asarray(pad[0])
+
+    boxes_min, boxes_max, cls, conf = [], [], [], []
+    num_classes = out.conf.shape[1]
+    for c in range(num_classes):
+        keep = out.keep[0, c]
+        if not keep.any():
+            continue
+        dmin = (out.yx_min[0, c][keep] * size - pad) / scale / hw
+        dmax = (out.yx_max[0, c][keep] * size - pad) / scale / hw
+        boxes_min.append(np.clip(dmin, 0, 1))
+        boxes_max.append(np.clip(dmax, 0, 1))
+        cls.extend([c] * int(keep.sum()))
+        conf.extend(out.conf[0, c][keep].tolist())
+    if not cls:
+        return (np.zeros((0, 2)), np.zeros((0, 2)),
+                np.zeros((0,), np.int32), np.zeros((0,)))
+    return (np.concatenate(boxes_min), np.concatenate(boxes_max),
+            np.asarray(cls, np.int32), np.asarray(conf))
+
+
+def main(argv=None):
+    parser = make_parser("detect objects in an image (or camera stream)")
+    parser.add_argument("input", help="image path, or an integer camera index")
+    parser.add_argument("-f", "--file", default=None,
+                        help="checkpoint .npz or darknet .weights (default: latest)")
+    parser.add_argument("--size", type=int, default=None)
+    parser.add_argument("-o", "--output", default=None, help="output image path")
+    parser.add_argument("--show", action="store_true", help="matplotlib display")
+    args = parser.parse_args(argv)
+    config = setup(args)
+
+    category, anchors, model = build(config)
+    params, state, _ = load_weights_auto(config, model, args.file, resume=args.file is None)
+    size = args.size or int(config.get("data", "sizes").split(",")[0])
+
+    import cv2
+
+    def handle(frame_rgb, tag: str):
+        ymin, ymax, cls, conf = detect_image(config, model, params, state, frame_rgb, size)
+        for i in range(len(cls)):
+            _LOG.info("%s: %s %.2f @ %s %s", tag, category[cls[i]], conf[i],
+                      ymin[i].round(3), ymax[i].round(3))
+        drawn = draw_boxes(frame_rgb, ymin, ymax, cls, conf, category)
+        if args.output:
+            cv2.imwrite(args.output, drawn[:, :, ::-1])
+            _LOG.info("wrote %s", args.output)
+        if args.show:
+            import matplotlib.pyplot as plt
+
+            plt.imshow(drawn)
+            plt.axis("off")
+            plt.show()
+        return drawn
+
+    if args.input.isdigit():  # camera loop
+        cap = cv2.VideoCapture(int(args.input))
+        try:
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                handle(frame[:, :, ::-1], "cam")
+        finally:
+            cap.release()
+    else:
+        img = cv2.imread(args.input, cv2.IMREAD_COLOR)
+        if img is None:
+            raise SystemExit(f"cannot read {args.input}")
+        handle(img[:, :, ::-1], os.path.basename(args.input))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,117 @@
+"""``eval`` command: mAP over the cached split (SURVEY.md §3.2).
+
+TPU-first restructuring vs the reference: forward → decode → per-class NMS
+run as ONE jitted program per batch on device (BASELINE config 2, "batched
+inference over VOC2007 val with fused decode+NMS on TPU"); the host receives
+only fixed-size packed detections, inverts the letterbox transform, and
+accumulates the VOC-protocol AP.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+
+import jax
+import numpy as np
+
+from .. import config as _config
+from ..data.cache import load_cache
+from ..data.dataset import Dataset
+from ..data.loader import Loader
+from ..data.transform import letterbox_batch
+from ..eval_ap import DetectionRecorder, evaluate
+from ..models.inference import Inference
+from ..utils.metrics import Meter
+from . import make_parser, setup
+from .common import build, load_weights_auto
+
+_LOG = logging.getLogger(__name__)
+
+
+def run_eval(config, model, params, state, records, size: int, batch_size: int,
+             category) -> dict:
+    """Evaluate folded-model mAP over records; returns {'map', 'ap', 'rate'}."""
+    threshold = config.getfloat("eval", "threshold", fallback=0.005)
+    overlap = config.getfloat("eval", "overlap", fallback=0.45)
+    topk = config.getint("eval", "topk", fallback=300)
+    iou = config.getfloat("eval", "iou", fallback=0.5)
+    use07 = config.getboolean("eval", "metric07", fallback=True)
+
+    inference = Inference(model)
+    folded = inference.fold(params, state)
+    detect = inference.detect_fn(threshold, overlap, topk)
+
+    canvas = config.getint("data", "canvas", fallback=672)
+    max_boxes = config.getint("data", "max_boxes", fallback=60)
+    dataset = Dataset(records, canvas=canvas, max_boxes=max_boxes)
+    loader = Loader(dataset, batch_size, workers=config.getint("data", "workers", fallback=3),
+                    shuffle=False, drop_last=False)
+    recorder = DetectionRecorder(len(category))
+    meter = Meter()
+
+    for batch in loader.epoch():
+        images, scale, pad = letterbox_batch(batch["canvas"], batch["hw"], size)
+        out = detect(folded, images)
+        out = jax.device_get(out)
+        scale, pad = np.asarray(scale), np.asarray(pad)
+        meter.mark(len(batch["hw"]))
+        for b in range(len(batch["hw"])):
+            idx = int(batch["index"][b])
+            recorder.add_ground_truth(idx, batch["yx_min"][b][batch["valid"][b]],
+                                      batch["yx_max"][b][batch["valid"][b]],
+                                      batch["cls"][b][batch["valid"][b]],
+                                      batch["difficult"][b][batch["valid"][b]])
+            hw = batch["hw"][b]
+            for c in range(len(category)):
+                keep = out.keep[b, c]
+                if not keep.any():
+                    continue
+                # letterbox inversion → original-image normalized coords
+                dmin = (out.yx_min[b, c][keep] * size - pad[b]) / scale[b] / hw
+                dmax = (out.yx_max[b, c][keep] * size - pad[b]) / scale[b] / hw
+                conf = out.conf[b, c][keep]
+                recorder.add_detections(idx, np.clip(dmin, 0, 1), np.clip(dmax, 0, 1),
+                                        conf, np.full(len(conf), c))
+    result = evaluate(recorder, iou_threshold=iou, use_07_metric=use07)
+    result["rate"] = meter.rate
+    return result
+
+
+def main(argv=None):
+    parser = make_parser("evaluate mAP on the cached val/test split")
+    parser.add_argument("-f", "--file", default=None,
+                        help="checkpoint .npz or darknet .weights (default: latest)")
+    parser.add_argument("--size", type=int, default=None, help="eval input size")
+    parser.add_argument("--batch", type=int, default=None)
+    args = parser.parse_args(argv)
+    config = setup(args)
+
+    category, anchors, model = build(config)
+    params, state, _ = load_weights_auto(config, model, args.file, resume=args.file is None)
+    phase = config.get("eval", "phase", fallback="test")
+    records = load_cache(config, phase)
+    size = args.size or int(config.get("data", "sizes").split(",")[0])
+    batch_size = args.batch or config.getint("eval", "batch_size", fallback=16)
+
+    t0 = time.time()
+    result = run_eval(config, model, params, state, records, size, batch_size, category)
+    for c, ap in sorted(result["ap"].items()):
+        _LOG.info("AP %-16s %.4f", category[c], ap)
+    _LOG.info("mAP@%.2f = %.4f  (%d images, %.1f img/s, %.1fs)",
+              config.getfloat("eval", "iou", fallback=0.5), result["map"],
+              len(records), result["rate"], time.time() - t0)
+
+    db = _config.get_eval_db(config)
+    os.makedirs(os.path.dirname(db), exist_ok=True)
+    with open(db, "a") as f:
+        f.write(json.dumps({"time": time.time(), "size": size, "map": result["map"],
+                            "ap": {category[c]: v for c, v in result["ap"].items()}}) + "\n")
+    print(f"mAP = {result['map']:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

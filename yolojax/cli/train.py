@@ -1,0 +1,210 @@
+"""``train`` command (SURVEY.md §3.1; BASELINE config 3).
+
+The reference's hot loop is: DataLoader workers → .cuda() copy → DataParallel
+forward → Python loss → backward → optimizer.step, with a transform-object
+swap every N batches for multi-scale.  Here the loop body is two jitted
+programs — the fused augmentation graph and the train step (forward + loss +
+grads + update) — specialized per bucketed size {320..608}, prewarmed at
+startup so recompilation never lands on the hot path; the mesh makes the same
+loop data-parallel across every visible chip.
+
+Preserved reference semantics: multi-scale redraw every ``[train]
+multi_scale_interval`` batches; seconds-cadence checkpointing + save on
+KeyboardInterrupt; resume via ``-r``; per-component loss scalars, LR,
+histograms and box-image summaries at ``[summary]`` cadences; ``seen``-driven
+loss warmup.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config as _config
+from ..data.cache import load_cache
+from ..data.dataset import Dataset
+from ..data.loader import Loader
+from ..data.transform import TrainAugment
+from ..ops.loss import LossConfig
+from ..parallel.mesh import (loss_weights_from_config, make_mesh_for_batch,
+                             make_train_step)
+from ..utils import checkpoint as ckpt
+from ..utils.metrics import Meter, Summary
+from ..utils.train import build_optimizer
+from ..utils.visualize import draw_boxes
+from . import make_parser, setup
+from .common import build, load_weights_auto
+
+_LOG = logging.getLogger(__name__)
+
+
+def multi_scale_sizes(config) -> list[int]:
+    lo = config.getint("train", "multi_scale_min", fallback=320)
+    hi = config.getint("train", "multi_scale_max", fallback=608)
+    return list(range(lo, hi + 1, 32))
+
+
+class Train:
+    def __init__(self, args, config):
+        self.args = args
+        self.config = config
+        self.category, self.anchors, self.model = build(config)
+
+        records = load_cache(config, "train")
+        dataset = Dataset(records,
+                          canvas=config.getint("data", "canvas", fallback=672),
+                          max_boxes=config.getint("data", "max_boxes", fallback=60))
+        self.batch_size = args.batch or config.getint("data", "batch_size", fallback=16)
+        self.loader = Loader(dataset, self.batch_size,
+                             workers=config.getint("data", "workers", fallback=3),
+                             seed=config.getint("train", "seed", fallback=0))
+        self.steps_per_epoch = len(dataset) // self.batch_size
+
+        self.params, self.state, meta = load_weights_auto(
+            config, self.model, args.finetune, resume=args.resume,
+            rng_seed=config.getint("train", "seed", fallback=0))
+        self.optimizer = build_optimizer(config)
+        self.opt_state = self.optimizer.init(self.params)
+        self.step = int(meta.get("step", 0))
+        self.seen = int(meta.get("seen", 0))
+        if args.resume and meta.get("step") is not None:
+            path = ckpt.latest(_config.get_model_dir(config))
+            trees, _ = ckpt.load(path, {"opt": self.opt_state})
+            self.opt_state = trees["opt"]
+
+        self.mesh = make_mesh_for_batch(self.batch_size)
+        loss_cfg = LossConfig(
+            ignore_threshold=config.getfloat("loss", "threshold", fallback=0.6),
+            rescore=config.getboolean("loss", "rescore", fallback=True),
+            warmup_seen=config.getint("train", "warmup_seen", fallback=12800))
+        self.train_step = make_train_step(
+            self.model, self.optimizer, loss_weights_from_config(config),
+            loss_cfg, mesh=self.mesh)
+
+        self.augment = TrainAugment.from_config(config)
+        self.sizes = multi_scale_sizes(config)
+        self.interval = config.getint("train", "multi_scale_interval", fallback=10)
+        self.rng = np.random.default_rng(config.getint("train", "seed", fallback=0))
+        self.key = jax.random.PRNGKey(config.getint("train", "seed", fallback=0) + 1)
+
+        model_dir = _config.get_model_dir(config)
+        self.saver = ckpt.Saver(model_dir,
+                                interval=config.getfloat("save", "interval", fallback=600),
+                                keep=config.getint("save", "keep", fallback=5))
+        self.summary = Summary(model_dir, config)
+        self.meter = Meter()
+        from ..config import parse_attr
+        self.schedule = parse_attr(config.get(
+            "train", "scheduler", fallback="yolojax.utils.train.step_schedule"))(config)
+
+    # -- compilation warmup: trace every bucketed size before the hot loop --
+    def prewarm(self):
+        if not self.config.getboolean("train", "prewarm", fallback=True):
+            return
+        canvas = self.config.getint("data", "canvas", fallback=672)
+        g = self.config.getint("data", "max_boxes", fallback=60)
+        b = self.batch_size
+        dummy = {
+            "canvas": np.full((b, canvas, canvas, 3), 127, np.uint8),
+            "hw": np.full((b, 2), canvas, np.float32),
+            "yx_min": np.zeros((b, g, 2), np.float32),
+            "yx_max": np.zeros((b, g, 2), np.float32),
+            "cls": np.zeros((b, g), np.int32),
+            "valid": np.zeros((b, g), bool),
+        }
+        t0 = time.time()
+        for size in self.sizes:
+            key = jax.random.PRNGKey(0)
+            images, bmin, bmax, bvalid = self.augment(
+                key, dummy["canvas"], dummy["hw"], dummy["yx_min"],
+                dummy["yx_max"], dummy["valid"], size)
+            batch = {"images": images, "yx_min": bmin, "yx_max": bmax,
+                     "cls": dummy["cls"], "valid": bvalid}
+            # AOT-compile the step without executing (donation-safe)
+            self.train_step.lower(self.params, self.state, self.opt_state,
+                                  batch, jnp.int32(0)).compile()
+            _LOG.info("prewarmed size %d (%.1fs)", size, time.time() - t0)
+
+    def save(self, tag: str = ""):
+        path = self.saver(time.time(), self.step,
+                          {"params": self.params, "state": self.state,
+                           "opt": self.opt_state},
+                          {"step": self.step, "seen": self.seen})
+        _LOG.info("saved %s %s", path, tag)
+
+    def __call__(self, max_steps: int | None = None):
+        epochs = self.args.epochs or self.config.getint("train", "epochs", fallback=160)
+        total = max_steps or epochs * self.steps_per_epoch
+        size = self.sizes[-1] if len(self.sizes) == 1 else 416
+        self.prewarm()
+        _LOG.info("training %d steps (%d/epoch), %d devices, sizes %s",
+                  total, self.steps_per_epoch, len(self.mesh.devices.ravel()), self.sizes)
+        try:
+            for batch in self.loader:
+                if self.step >= total:
+                    break
+                if self.step % self.interval == 0:
+                    size = int(self.rng.choice(self.sizes))
+                key = jax.random.fold_in(self.key, self.step)
+                images, bmin, bmax, bvalid = self.augment(
+                    key, batch["canvas"], batch["hw"], batch["yx_min"],
+                    batch["yx_max"], batch["valid"], size)
+                dev_batch = {"images": images, "yx_min": bmin, "yx_max": bmax,
+                             "cls": batch["cls"], "valid": bvalid}
+                self.params, self.state, self.opt_state, metrics = self.train_step(
+                    self.params, self.state, self.opt_state, dev_batch,
+                    jnp.int32(min(self.seen, 2**31 - 1)))
+                self.step += 1
+                self.seen += self.batch_size
+
+                if self.summary.due("scalar", self.step):
+                    vals = {k: float(v) for k, v in metrics.items()}
+                    jax.block_until_ready(self.params)
+                    self.meter.mark(self.batch_size * self.summary.cadence["scalar"])
+                    vals["lr"] = float(self.schedule(self.step))
+                    vals["images_per_sec"] = self.meter.rate
+                    vals["size"] = size
+                    self.summary.scalar(self.step, **vals)
+                    _LOG.info("step %d size %d total %.4f (%.1f img/s)",
+                              self.step, size, vals["total"], self.meter.rate)
+                if self.summary.due("histogram", self.step):
+                    self.summary.histogram(self.step, self.params, "params/")
+                if self.summary.due("image", self.step):
+                    img = np.asarray(images[0], np.float32)
+                    v = np.asarray(bvalid[0])
+                    drawn = draw_boxes(img, np.asarray(bmin[0])[v],
+                                       np.asarray(bmax[0])[v],
+                                       np.asarray(batch["cls"][0])[v],
+                                       category=self.category)
+                    self.summary.image(self.step, "train/augmented", drawn / 255.0)
+                if self.saver.due(time.time()):
+                    self.save()
+        except KeyboardInterrupt:
+            _LOG.info("interrupted at step %d", self.step)
+        finally:
+            self.save("final")
+            self.summary.close()
+        return self.step
+
+
+def main(argv=None):
+    parser = make_parser("train the configured model on the cached dataset")
+    parser.add_argument("-r", "--resume", action="store_true",
+                        help="resume from the latest checkpoint in the model dir")
+    parser.add_argument("-f", "--finetune", default=None,
+                        help="initial weights: checkpoint .npz or darknet .weights")
+    parser.add_argument("--batch", type=int, default=None)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--steps", type=int, default=None, help="hard step cap")
+    args = parser.parse_args(argv)
+    config = setup(args)
+    Train(args, config)(max_steps=args.steps)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -40,6 +40,15 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_mesh_for_batch(batch_size: int, axis: str = "data") -> Mesh:
+    """Largest data mesh the batch shards evenly across (GSPMD requires the
+    batch axis divisible by the mesh axis)."""
+    n = len(jax.devices())
+    while n > 1 and batch_size % n:
+        n -= 1
+    return make_mesh(n, axis)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) axis split across the data axis."""
     return NamedSharding(mesh, P("data"))
