@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Headline benchmark: 416×416 Darknet-19 YOLOv2 inference images/sec/chip.
+
+Runs the fully fused on-device path (folded conv+bias+leaky forward → decode
+→ per-class NMS) on the default accelerator and prints ONE JSON line.
+Baseline: the YOLO9000 paper's 67 FPS at 416×416 on a Titan X
+(arXiv:1612.08242 Table 3; the reference repo publishes no numbers of its
+own — BASELINE.md).
+
+Env overrides: BENCH_BATCH (default 64), BENCH_ITERS (default 30),
+BENCH_MODE=infer|train (default infer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_FPS = 67.0  # Titan X, paper Table 3
+
+
+def bench_infer(batch: int, iters: int) -> float:
+    import jax
+
+    from __graft_entry__ import _flagship
+    from yolojax.models.inference import Inference
+    from yolojax.ops.postprocess import postprocess
+
+    model = _flagship()
+    params, state = model.init(jax.random.PRNGKey(0))
+    inference = Inference(model)
+    folded = inference.fold(params, state)
+
+    @jax.jit
+    def run(folded, images):
+        det = inference(folded, images)
+        return postprocess(det, threshold=0.005, overlap=0.45, topk=100)
+
+    rng = np.random.default_rng(0)
+    images = jax.device_put(rng.uniform(0, 1, (batch, 416, 416, 3)).astype(np.float32))
+    out = run(folded, images)
+    jax.block_until_ready(out)  # compile + warm
+    for _ in range(3):
+        jax.block_until_ready(run(folded, images))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run(folded, images)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def bench_train(batch: int, iters: int) -> float:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from __graft_entry__ import _flagship
+    from yolojax.ops.loss import LossConfig
+    from yolojax.parallel.mesh import make_train_step
+
+    model = _flagship()
+    params, state = model.init(jax.random.PRNGKey(0))
+    optimizer = optax.chain(optax.clip_by_global_norm(5.0),
+                            optax.sgd(1e-3, momentum=0.9))
+    opt_state = optimizer.init(params)
+    weights = {"coord": 1.0, "object": 5.0, "noobject": 1.0, "cls": 1.0, "prior": 0.01}
+    step = make_train_step(model, optimizer, weights, LossConfig())
+
+    rng = np.random.default_rng(0)
+    g = 30
+    center = rng.uniform(0.2, 0.8, (batch, g, 2)).astype(np.float32)
+    half = rng.uniform(0.02, 0.3, (batch, g, 2)).astype(np.float32)
+    data = {
+        "images": jax.device_put(rng.uniform(0, 1, (batch, 416, 416, 3)).astype(np.float32)),
+        "yx_min": np.clip(center - half, 0, 1),
+        "yx_max": np.clip(center + half, 0, 1),
+        "cls": rng.integers(0, 20, (batch, g)).astype(np.int32),
+        "valid": np.ones((batch, g), bool),
+    }
+    seen = jnp.int32(1 << 30)
+    params, state, opt_state, m = step(params, state, opt_state, data, seen)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, state, opt_state, m = step(params, state, opt_state, data, seen)
+    jax.block_until_ready(m)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    iters = int(os.environ.get("BENCH_ITERS", "30"))
+    mode = os.environ.get("BENCH_MODE", "infer")
+    rate = bench_infer(batch, iters) if mode == "infer" else bench_train(batch, iters)
+    print(json.dumps({
+        "metric": f"yolov2_416_{mode}_images_per_sec_per_chip",
+        "value": round(rate, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(rate / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -4,7 +4,7 @@ greedy NMS (SURVEY.md §7 "On-device NMS ... verify exact-match vs CPU NMS")."""
 import numpy as np
 
 from yolojax.ops.iou import np_iou_matrix
-from yolojax.ops.nms import nms_mask, nms_topk
+from yolojax.ops.nms import nms_mask, nms_select, nms_topk
 
 
 def greedy_nms_reference(yx_min, yx_max, scores, overlap, valid):
@@ -63,6 +63,48 @@ def test_nms_topk_threshold_and_sorting(rng):
     assert top.shape == (10,)
     assert np.all(np.diff(top) <= 0)  # descending
     assert not np.any(np.asarray(keep) & (top <= 0.5))  # thresholded
+
+
+def test_nms_select_matches_sequential(rng):
+    """The while-loop production NMS must agree with sequential greedy NMS."""
+    for trial in range(10):
+        n = 50
+        yx_min, yx_max = random_boxes(rng, n)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        threshold = 0.3
+        idx, conf, valid = nms_select(yx_min, yx_max, scores, threshold, 0.45, n)
+        got = sorted(np.asarray(idx)[np.asarray(valid)].tolist())
+        want_mask = greedy_nms_reference(yx_min, yx_max, scores, 0.45,
+                                         scores > threshold)
+        want = sorted(np.nonzero(want_mask)[0].tolist())
+        assert got == want, trial
+        # scores come out in descending order
+        kept = np.asarray(conf)[np.asarray(valid)]
+        assert np.all(np.diff(kept) <= 0)
+
+
+def test_nms_select_max_out_truncates(rng):
+    n = 30
+    yx_min, yx_max = random_boxes(rng, n)
+    # spread boxes far apart so nothing suppresses: expect exactly max_out
+    yx_min = yx_min + np.arange(n)[:, None].astype(np.float32)
+    yx_max = yx_max + np.arange(n)[:, None].astype(np.float32)
+    scores = rng.uniform(0.5, 1, n).astype(np.float32)
+    idx, conf, valid = nms_select(yx_min, yx_max, scores, 0.1, 0.45, 7)
+    assert int(np.asarray(valid).sum()) == 7
+    np.testing.assert_allclose(np.asarray(conf)[:7], np.sort(scores)[::-1][:7],
+                               rtol=1e-6)
+
+
+def test_nms_select_degenerate_boxes_terminate():
+    """Zero-area candidates must not wedge the while loop."""
+    yx_min = np.zeros((5, 2), np.float32)
+    yx_max = np.zeros((5, 2), np.float32)  # all degenerate
+    scores = np.asarray([0.9, 0.8, 0.7, 0.6, 0.5], np.float32)
+    idx, conf, valid = nms_select(yx_min, yx_max, scores, 0.1, 0.45, 5)
+    # each degenerate box only suppresses itself → all 5 emitted in order
+    assert int(np.asarray(valid).sum()) == 5
+    np.testing.assert_array_equal(np.asarray(idx), [0, 1, 2, 3, 4])
 
 
 def test_nms_all_suppressed_when_identical():

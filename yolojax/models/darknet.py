@@ -41,7 +41,10 @@ class _PlanModel(ModelBase):
         return 32
 
     def init(self, rng):
-        return init_plan(rng, self.plan)
+        # jitted: eager per-layer init is ~50 dispatches — one program instead
+        import jax
+
+        return jax.jit(lambda r: init_plan(r, self.plan))(rng)
 
     def apply(self, params, state, images, train: bool = False):
         """images: (B, H, W, 3) in [0, 1] → raw head (B, H/32, W/32, A*(5+C))."""
@@ -50,7 +53,9 @@ class _PlanModel(ModelBase):
         return raw, new_state
 
     def fold(self, params, state):
-        return fold_plan(self.plan, params, state, self.bn.eps)
+        import jax
+
+        return jax.jit(lambda p, s: fold_plan(self.plan, p, s, self.bn.eps))(params, state)
 
     def apply_folded(self, folded, images):
         raw, _ = run_plan(self.plan, folded, {}, images,

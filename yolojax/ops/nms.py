@@ -2,12 +2,19 @@
 
 The reference runs an O(N²) greedy suppression per class on CPU after a
 device→host copy each batch (reference ``utils/postprocess.py: nms`` (recon)).
-Here NMS is a fixed-K masked iteration that jits into the same XLA program as
-the forward pass and decode: candidates are pre-selected with ``lax.top_k``,
-a K×K IoU matrix is built once (MXU/VPU-friendly), and greedy order is
-resolved by a ``lax.fori_loop`` over rows — identical results to sequential
-greedy NMS, zero host round-trips.  A Pallas kernel with the same contract
-lives in kernels/nms.py.
+Two exact on-device formulations here:
+
+* :func:`nms_select` — the production path: an argmax-iteration
+  ``lax.while_loop`` directly over all N decoded candidates.  Each round
+  emits the highest remaining score and suppresses its neighbours with one
+  O(N) IoU row; the loop exits as soon as the peak score falls below the
+  confidence threshold or ``max_out`` boxes are emitted.  No sort, no top-k
+  preselect, no K×K matrix — tiny XLA program, data-dependent early exit,
+  identical results to sequential greedy NMS (a suppressed candidate can
+  never become a later argmax).
+* :func:`nms_mask` — a keep-mask formulation over a fixed candidate set
+  (sort + fori_loop); used by tests and by consumers that need a mask
+  aligned to the input order.
 """
 
 from __future__ import annotations
@@ -15,9 +22,45 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .iou import iou_matrix
+from .iou import iou_matrix, iou_pairwise
 
-__all__ = ["nms_mask", "nms_topk"]
+__all__ = ["nms_select", "nms_mask", "nms_topk"]
+
+
+def nms_select(yx_min: jnp.ndarray, yx_max: jnp.ndarray, scores: jnp.ndarray,
+               threshold: float, overlap: float, max_out: int):
+    """Greedy NMS over N candidates → top ``max_out`` picks, score order.
+
+    Returns (idx, conf, valid): indices into the candidate axis, their
+    scores, and a validity mask — all fixed shape (max_out,).
+    """
+    yx_min, yx_max = jnp.asarray(yx_min), jnp.asarray(yx_max)
+    scores = jnp.asarray(scores)
+    n = scores.shape[0]
+    neg = jnp.float32(-jnp.inf)
+
+    def cond(carry):
+        k, s, _, _ = carry
+        return (k < max_out) & (jnp.max(s) > threshold)
+
+    def body(carry):
+        k, s, oi, oc = carry
+        i = jnp.argmax(s)
+        bmin, bmax = yx_min[i], yx_max[i]
+        iou = iou_pairwise(bmin[None, :], bmax[None, :], yx_min, yx_max)
+        oi = oi.at[k].set(i.astype(jnp.int32))
+        oc = oc.at[k].set(s[i])
+        # suppress neighbours and always i itself (a degenerate zero-area
+        # box has IoU 0 with everything, including itself)
+        s = jnp.where((iou > overlap) | (jnp.arange(n) == i), neg, s)
+        return k + 1, s, oi, oc
+
+    k, _, idx, conf = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), scores.astype(jnp.float32),
+         jnp.zeros((max_out,), jnp.int32), jnp.zeros((max_out,), jnp.float32)))
+    valid = jnp.arange(max_out) < k
+    return idx, conf, valid
 
 
 def nms_mask(yx_min: jnp.ndarray, yx_max: jnp.ndarray, scores: jnp.ndarray,

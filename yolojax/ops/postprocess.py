@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from .decode import Detections, decode
-from .nms import nms_topk
+from .nms import nms_select
 
 __all__ = ["PostProcessed", "postprocess", "postprocess_raw"]
 
@@ -33,10 +33,16 @@ class PostProcessed(NamedTuple):
 
 @partial(jax.jit, static_argnames=("threshold", "overlap", "topk"))
 def postprocess(det: Detections, threshold: float, overlap: float, topk: int) -> PostProcessed:
-    """Per-class threshold + NMS on decoded detections."""
+    """Per-class threshold + NMS on decoded detections.
+
+    ``topk`` bounds emitted boxes per (image, class); the while-loop NMS
+    exits early once every remaining score is below ``threshold``, so the
+    bound costs nothing on well-trained models (few survivors per class).
+    """
 
     def one_class(yx_min, yx_max, conf_c):
-        return nms_topk(yx_min, yx_max, conf_c, threshold, overlap, topk)
+        idx, conf, valid = nms_select(yx_min, yx_max, conf_c, threshold, overlap, topk)
+        return jnp.take(yx_min, idx, axis=0), jnp.take(yx_max, idx, axis=0), conf, valid
 
     def one_image(yx_min, yx_max, conf):
         # conf: (N, C) → per class (C, N)
