@@ -37,18 +37,18 @@ def bench_infer(batch: int, iters: int) -> float:
     @jax.jit
     def run(folded, images):
         det = inference(folded, images)
-        return postprocess(det, threshold=0.005, overlap=0.45, topk=100)
+        out = postprocess(det, threshold=0.005, overlap=0.45, topk=100)
+        # scalar summary: fetching it forces the whole pipeline to finish
+        # (block_until_ready is unreliable through the axon tunnel)
+        return out.conf.sum()
 
     rng = np.random.default_rng(0)
     images = jax.device_put(rng.uniform(0, 1, (batch, 416, 416, 3)).astype(np.float32))
-    out = run(folded, images)
-    jax.block_until_ready(out)  # compile + warm
-    for _ in range(3):
-        jax.block_until_ready(run(folded, images))
+    float(run(folded, images))  # compile + warm
+    float(run(folded, images))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run(folded, images)
-    jax.block_until_ready(out)
+    outs = [run(folded, images) for _ in range(iters)]
+    float(outs[-1])  # single-stream ordering: last done ⇒ all done
     dt = time.perf_counter() - t0
     return batch * iters / dt
 
@@ -83,11 +83,11 @@ def bench_train(batch: int, iters: int) -> float:
     }
     seen = jnp.int32(1 << 30)
     params, state, opt_state, m = step(params, state, opt_state, data, seen)
-    jax.block_until_ready(m)
+    float(m["total"])  # force completion; see bench_infer
     t0 = time.perf_counter()
     for _ in range(iters):
         params, state, opt_state, m = step(params, state, opt_state, data, seen)
-    jax.block_until_ready(m)
+    float(m["total"])
     dt = time.perf_counter() - t0
     return batch * iters / dt
 

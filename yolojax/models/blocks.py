@@ -84,12 +84,14 @@ def conv_init(key, in_ch: int, out_ch: int, ksize: int, use_bn: bool = True,
 
 
 def _conv(x, w, stride: int, groups: int, compute_dtype):
+    # both operands in the compute dtype: mixed-dtype convs have no autodiff
+    # transpose rule.  The TPU MXU accumulates bf16 products in f32
+    # internally; downstream BN math promotes back to f32 via its f32 params.
     return jax.lax.conv_general_dilated(
         x.astype(compute_dtype), w.astype(compute_dtype),
         window_strides=(stride, stride), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
     )
 
 
@@ -145,6 +147,7 @@ def max_pool(x, size: int = 2, stride: int | None = None):
     pool in Tiny-Darknet, VALID otherwise)."""
     stride = size if stride is None else stride
     padding = "SAME" if stride == 1 else "VALID"
+    # init must be the true -inf identity: reverse-mode autodiff of
+    # reduce_window(max) requires a monoid with identity (finfo.min breaks it)
     return jax.lax.reduce_window(
-        x, -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
-        jax.lax.max, (1, size, size, 1), (1, stride, stride, 1), padding)
+        x, -jnp.inf, jax.lax.max, (1, size, size, 1), (1, stride, stride, 1), padding)
