@@ -155,3 +155,68 @@ def test_demo_data_cli(workspace):
     out = str(root / "demo")
     assert main(cfg + ["-n", "2", "--size", "64", "-o", out]) == 0
     assert len(os.listdir(out)) == 2
+
+
+def test_estimate_cli(workspace, capsys):
+    from yolojax.cli.estimate import main
+
+    root, cfg = workspace
+    out = str(root / "anchors_est.tsv")
+    assert main(cfg + ["-k", "2", "--size", "64", "-o", out]) == 0
+    anchors = np.loadtxt(out)
+    assert anchors.shape == (2, 2)
+
+
+def test_prune_cli(workspace):
+    from yolojax.cli.prune import main
+
+    root, cfg = workspace
+    out = str(root / "pruned")
+    assert main(cfg + ["--ratio", "0.2", "-o", out]) == 0
+    assert os.path.exists(os.path.join(out, "channels.json"))
+    # pruned model evaluates under the channels override
+    from yolojax.cli.eval import main as eval_main
+
+    import glob
+    pruned_ckpt = glob.glob(os.path.join(out, "*.npz"))[0]
+    assert eval_main(cfg + ["--size", "64", "-f", pruned_ckpt,
+                            "-m", f"model/channels={out}/channels.json"]) == 0
+
+
+def test_convert_darknet_cli_roundtrip(workspace, capsys):
+    from yolojax.cli.convert_darknet import main
+
+    root, cfg = workspace
+    ckpt_path = str(root / "artifacts" / "model" / "category2" / "Tiny" / "e2e" / "5.npz")
+    weights = str(root / "export.weights")
+    assert main(cfg + ["--reverse", "-o", weights, ckpt_path]) == 0
+    back = str(root / "reimported.npz")
+    assert main(cfg + ["-o", back, weights]) == 0
+    assert os.path.exists(back)
+
+
+def test_export_cli(workspace, capsys):
+    from yolojax.cli.export import main
+
+    root, cfg = workspace
+    out = str(root / "inference.stablehlo")
+    assert main(cfg + ["--size", "64", "-o", out]) == 0
+    assert os.path.getsize(out) > 1000
+
+
+def test_demo_graph_cli(workspace):
+    from yolojax.cli.demo_graph import main
+
+    root, cfg = workspace
+    out = str(root / "graph")
+    assert main(cfg + ["--size", "64", "-o", out]) == 0
+    assert os.path.exists(os.path.join(out, "plan.dot"))
+    assert os.path.exists(os.path.join(out, "model.hlo"))
+
+
+def test_receptive_field_cli(workspace, capsys):
+    from yolojax.cli.receptive_field import main
+
+    root, cfg = workspace
+    assert main(cfg + ["--size", "64"]) == 0
+    assert "support=" in capsys.readouterr().out

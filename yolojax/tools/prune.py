@@ -1,0 +1,102 @@
+"""Channel pruning: network-slimming by BatchNorm-γ magnitude
+(SURVEY.md §2.19; reference ``prune.py`` + ``ConfigChannels`` (recon)).
+
+Rank channels by |γ| across all prunable convs (global quantile threshold),
+keep the strongest fraction, then walk the model *plan* slicing weights so
+every downstream consumer (sequential convs, depthwise ties, reorg channel
+expansion, passthrough concat) receives exactly its surviving inputs.
+Emits (a) slimmed params/state and (b) the {layer: width} JSON that
+``ChannelResolver`` feeds back into model construction — the same
+width-parameterized rebuild mechanism the reference uses.
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["prune", "save_channels"]
+
+
+def _keep_indices(params, defs, ratio: float, skip: frozenset):
+    """Global |γ| quantile → per-layer kept channel indices (sorted)."""
+    prunable = [d for d in defs
+                if d.bn and d.groups == 1 and d.name not in skip]
+    gammas = np.concatenate([np.abs(np.asarray(params[d.name]["gamma"]))
+                             for d in prunable])
+    threshold = np.quantile(gammas, 1.0 - ratio)
+    keep = {}
+    for d in prunable:
+        g = np.abs(np.asarray(params[d.name]["gamma"]))
+        idx = np.nonzero(g >= threshold)[0]
+        if len(idx) == 0:  # never kill a layer entirely
+            idx = np.asarray([int(g.argmax())])
+        keep[d.name] = idx
+    return keep
+
+
+def prune(model, params, state, ratio: float, skip=("out",)):
+    """Prune ``ratio`` of BN channels → (params, state, channels dict).
+
+    ``ratio`` is the fraction REMOVED (0.3 → keep 70%). ``skip`` layers keep
+    full width (the head's final conv must — its channels are the anchor
+    fields).
+    """
+    defs = model.layer_defs
+    keep = _keep_indices(params, defs, ratio, frozenset(skip))
+
+    new_params, new_state, channels = {}, {}, {}
+    in_idx = np.arange(3)       # surviving input channels, original ids
+    orig_ch = 3                 # original channel count of the running tensor
+    slots: dict[str, tuple[np.ndarray, int]] = {}
+
+    for op in model.plan:
+        kind = op[0]
+        if kind == "conv":
+            d = op[1]
+            p = {k: np.asarray(v) for k, v in params[d.name].items()}
+            s = {k: np.asarray(v) for k, v in state.get(d.name, {}).items()}
+            if d.groups > 1:  # depthwise: out channels tied to inputs
+                out_idx = in_idx
+                p["w"] = p["w"][:, :, :, in_idx]
+            else:
+                out_idx = keep.get(d.name, np.arange(d.out_ch))
+                p["w"] = p["w"][:, :, in_idx, :][:, :, :, out_idx]
+            for k in ("gamma", "beta", "b"):
+                if k in p:
+                    p[k] = p[k][out_idx]
+            for k in ("mean", "var"):
+                if k in s:
+                    s[k] = s[k][out_idx]
+            new_params[d.name] = {k: jnp.asarray(v) for k, v in p.items()}
+            if s:
+                new_state[d.name] = {k: jnp.asarray(v) for k, v in s.items()}
+            if d.name in keep:  # depthwise widths follow their input per
+                channels[d.name] = int(len(out_idx))  # the model builders
+            in_idx = out_idx if d.groups == 1 else in_idx
+            orig_ch = d.out_ch if d.groups == 1 else orig_ch
+            if d.groups > 1:
+                orig_ch = d.out_ch  # == original input count
+        elif kind == "mark":
+            slots[op[1]] = (in_idx, orig_ch)
+        elif kind == "load":
+            in_idx, orig_ch = slots[op[1]]
+        elif kind == "reorg":
+            s2 = op[1] * op[1]
+            # pruned tensor channel order is offset-major over kept channels;
+            # map back to original ids (p*s+q)*C_orig + c
+            in_idx = np.concatenate([o * orig_ch + in_idx for o in range(s2)])
+            orig_ch *= s2
+        elif kind == "concat":
+            slot_idx, slot_orig = slots[op[1]]
+            in_idx = np.concatenate([in_idx, slot_idx + orig_ch])
+            orig_ch += slot_orig
+
+    return new_params, new_state, channels
+
+
+def save_channels(path: str, channels: dict) -> None:
+    with open(path, "w") as f:
+        json.dump(channels, f, indent=0, sort_keys=True)
