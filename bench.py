@@ -93,7 +93,7 @@ def bench_train(batch: int, iters: int) -> float:
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
     mode = os.environ.get("BENCH_MODE", "infer")
     rate = bench_infer(batch, iters) if mode == "infer" else bench_train(batch, iters)

@@ -49,7 +49,10 @@ def _dw_kernel(x_ref, w_ref, out_ref, scratch, sem, *, stride: int, rows: int,
             if stride == 1:
                 patch = scratch[dy:dy + rows, dx:dx + wout, :]
             else:
-                patch = scratch[dy:dy + rows * 2:2, dx:dx + wout * 2:2, :]
+                # Mosaic has no bf16 strided loads: load contiguous, then
+                # deinterleave at value level
+                full = scratch[dy:dy + rows * 2, dx:dx + wout * 2, :]
+                patch = full.reshape(rows, 2, wout, 2, cb)[:, 0, :, 0, :]
             acc = acc + patch.astype(jnp.float32) * tap
     out_ref[0] = acc.astype(out_ref.dtype)
 
@@ -73,10 +76,14 @@ def dwconv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1,
     cb = 128 if c % 128 == 0 else c
     grid = (b, ho // rows, c // cb)
 
-    # pad height so the last slab's full (rows*stride + 2) read stays in bounds
+    # pad height so the last slab's full (rows*stride + 2) read stays in
+    # bounds, and width to a sublane multiple (Mosaic: DMA slices along the
+    # second-to-last dim must be 8-aligned)
     extra_h = (ho // rows - 1) * rows * stride + rows * stride + 2 - (h + pad_h)
+    width = wd + pad_w
+    extra_w = (-width) % 8
     xp = jnp.pad(x, ((0, 0), (top, pad_h - top + max(extra_h, 0)),
-                     (left, pad_w - left), (0, 0)))
+                     (left, pad_w - left + extra_w), (0, 0)))
     wp_width = xp.shape[2]
 
     kernel = functools.partial(_dw_kernel, stride=stride, rows=rows, cb=cb)

@@ -1,14 +1,22 @@
 """Pallas greedy-NMS kernel (BASELINE north_star: "a Pallas NMS kernel").
 
 Same contract as ops/nms.py::nms_select — exact greedy NMS by argmax
-iteration — but the entire loop runs inside ONE kernel per (image, class)
-with candidates resident in VMEM.  The XLA while_loop version dispatches a
-kernel per iteration; on-core the loop body is a handful of VPU ops over the
-lane-vectorized candidate arrays, so per-iteration overhead disappears.
+iteration — but the loop runs inside Pallas kernels with candidates resident
+in VMEM.  Two structural differences from the XLA while-loop version:
 
-Memory layout: candidates transposed to component-major (…, 4, N) so each
-IoU row is elementwise over the 128-lane axis; N padded to a lane multiple
-with -inf scores.  Grid: one program per (image, class) pair.
+* the Pallas grid is *sequential on a core*, so one (image, class) per
+  program would serialize B·C tiny loops; instead each program processes a
+  **block of L rows** (image,class pairs), with the argmax / pick / suppress
+  step row-vectorized over sublanes — per-row early exit via an active mask,
+  loop exits when the whole block is done;
+* the XLA version's worst case couples ALL lanes (every lane iterates until
+  the densest lane finishes); here the coupling is only within an L-row
+  block, which keeps worst-case latency bounded (8× faster than XLA at
+  saturated candidate density, measured on v5e).
+
+Memory layout: candidates component-major (L, 4, Np), N padded to a lane
+multiple with -inf scores; picks accumulate into lane-masked carry vectors
+(Mosaic cannot store at dynamic lane offsets).
 """
 
 from __future__ import annotations
@@ -24,6 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["nms_select_pallas", "postprocess_pallas"]
 
 _LANES = 128
+_ROWS = 8  # (image, class) rows per program — one f32 sublane tile
 
 
 def _round_up(x: int, m: int) -> int:
@@ -32,83 +41,96 @@ def _round_up(x: int, m: int) -> int:
 
 def _nms_kernel(boxes_ref, scores_ref, idx_ref, conf_ref, count_ref,
                 *, threshold: float, overlap: float, max_out: int):
-    """One (image, class): boxes (1, 4, Np), scores (1, 1, Np) → (1, 1, max_out)."""
-    ymin = boxes_ref[0, 0:1, :]
-    xmin = boxes_ref[0, 1:2, :]
-    ymax = boxes_ref[0, 2:3, :]
-    xmax = boxes_ref[0, 3:4, :]
-    area = jnp.maximum(ymax - ymin, 0.0) * jnp.maximum(xmax - xmin, 0.0)  # (1, Np)
-    n = scores_ref.shape[2]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    """Block of L rows: boxes (L, 4, Np), scores (L, Np) → picks (L, mo)."""
+    l, n = scores_ref.shape
+    mo = idx_ref.shape[1]
+    ymin = boxes_ref[:, 0, :]
+    xmin = boxes_ref[:, 1, :]
+    ymax = boxes_ref[:, 2, :]
+    xmax = boxes_ref[:, 3, :]
+    area = jnp.maximum(ymax - ymin, 0.0) * jnp.maximum(xmax - xmin, 0.0)  # (L, Np)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (l, n), 1)
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, (l, mo), 1)
+    neg = jnp.float32(-jnp.inf)
+
+    def active(k, s):
+        return (jnp.max(s, axis=1, keepdims=True) > threshold) & (k < max_out)
 
     def cond(carry):
-        k, s = carry
-        return (k < max_out) & (jnp.max(s) > threshold)
+        k, s, _, _ = carry
+        return jnp.any(active(k, s))
 
     def body(carry):
-        k, s = carry
-        i = jnp.argmax(s[0, :])
-        sel = lane == i
-        pick = lambda v: jnp.sum(jnp.where(sel, v, 0.0))  # scalar of lane i
+        k, s, idxv, confv = carry
+        act = active(k, s)                                    # (L, 1)
+        i = jnp.argmax(s, axis=1).astype(jnp.int32)[:, None]  # (L, 1)
+        sel = lane == i                                       # (L, Np)
+        pick = lambda v: jnp.sum(jnp.where(sel, v, 0.0), axis=1, keepdims=True)
         by0, bx0, by1, bx1 = pick(ymin), pick(xmin), pick(ymax), pick(xmax)
         barea = pick(area)
         iy = jnp.maximum(jnp.minimum(ymax, by1) - jnp.maximum(ymin, by0), 0.0)
         ix = jnp.maximum(jnp.minimum(xmax, bx1) - jnp.maximum(xmin, bx0), 0.0)
         inter = iy * ix
         iou = inter / jnp.maximum(area + barea - inter, 1e-10)
-        idx_ref[0, 0, pl.ds(k, 1)] = i[None].astype(jnp.int32)
-        conf_ref[0, 0, pl.ds(k, 1)] = jnp.sum(jnp.where(sel, s, 0.0))[None]
-        s = jnp.where((iou > overlap) | sel, -jnp.inf, s)
-        return k + 1, s
+        write = act & (out_lane == k)                         # (L, mo)
+        idxv = jnp.where(write, i, idxv)
+        confv = jnp.where(write, pick(s), confv)
+        s = jnp.where(act & ((iou > overlap) | sel), neg, s)
+        k = k + act.astype(jnp.int32)
+        return k, s, idxv, confv
 
-    idx_ref[...] = jnp.zeros_like(idx_ref)
-    conf_ref[...] = jnp.zeros_like(conf_ref)
-    k, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), scores_ref[0]))
-    count_ref[0, 0, 0] = k
+    k, _, idxv, confv = jax.lax.while_loop(
+        cond, body,
+        (jnp.zeros((l, 1), jnp.int32), scores_ref[...],
+         jnp.zeros((l, mo), jnp.int32), jnp.zeros((l, mo), jnp.float32)))
+    idx_ref[...] = idxv
+    conf_ref[...] = confv
+    count_ref[...] = jnp.broadcast_to(k, count_ref.shape)
 
 
 @functools.partial(jax.jit, static_argnames=("threshold", "overlap", "max_out"))
 def nms_select_pallas(yx_min, yx_max, scores, threshold: float, overlap: float,
                       max_out: int):
-    """Batched-greedy NMS. yx_min/yx_max (..., N, 2), scores (..., N) →
+    """Batched greedy NMS. yx_min/yx_max (..., N, 2), scores (..., N) →
     (idx, conf, valid) of shape (..., max_out) — same contract as
     ops.nms.nms_select, vectorized over leading dims by the kernel grid."""
     lead = scores.shape[:-1]
     n = scores.shape[-1]
     g = int(np.prod(lead)) if lead else 1
     np_pad = _round_up(n, _LANES)
+    gp = _round_up(g, _ROWS)
 
-    boxes = jnp.concatenate([yx_min, yx_max], axis=-1)          # (..., N, 4)
+    boxes = jnp.concatenate([yx_min, yx_max], axis=-1)           # (..., N, 4)
     boxes = jnp.moveaxis(boxes.reshape(g, n, 4), -1, 1)          # (G, 4, N)
-    boxes = jnp.pad(boxes, ((0, 0), (0, 0), (0, np_pad - n)))
-    s = scores.reshape(g, 1, n).astype(jnp.float32)
-    s = jnp.pad(s, ((0, 0), (0, 0), (0, np_pad - n)), constant_values=-jnp.inf)
+    boxes = jnp.pad(boxes, ((0, gp - g), (0, 0), (0, np_pad - n)))
+    s = scores.reshape(g, n).astype(jnp.float32)
+    s = jnp.pad(s, ((0, gp - g), (0, np_pad - n)), constant_values=-jnp.inf)
 
     kernel = functools.partial(_nms_kernel, threshold=threshold,
                                overlap=overlap, max_out=max_out)
     mo_pad = _round_up(max_out, _LANES)
     idx, conf, count = pl.pallas_call(
         kernel,
-        grid=(g,),
+        grid=(gp // _ROWS,),
         in_specs=[
-            pl.BlockSpec((1, 4, np_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, np_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, 4, np_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, np_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, mo_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, mo_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((_ROWS, mo_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, mo_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((g, 1, mo_pad), jnp.int32),
-            jax.ShapeDtypeStruct((g, 1, mo_pad), jnp.float32),
-            jax.ShapeDtypeStruct((g, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((gp, mo_pad), jnp.int32),
+            jax.ShapeDtypeStruct((gp, mo_pad), jnp.float32),
+            jax.ShapeDtypeStruct((gp, _LANES), jnp.int32),
         ],
     )(boxes, s)
 
-    idx = idx[:, 0, :max_out].reshape(*lead, max_out)
-    conf = conf[:, 0, :max_out].reshape(*lead, max_out)
-    count = count[:, 0, 0].reshape(*lead)
+    idx = idx[:g, :max_out].reshape(*lead, max_out)
+    conf = conf[:g, :max_out].reshape(*lead, max_out)
+    count = count[:g, 0].reshape(*lead)
     valid = jnp.arange(max_out) < count[..., None]
     return idx, conf, valid
 

@@ -21,12 +21,14 @@ __all__ = ["reorg_pallas"]
 
 
 def _reorg_kernel(x_ref, out_ref, *, stride: int):
-    # x_ref: (1, s, W, C) — the s input rows feeding one output row
+    # x_ref: (1, s, W, C) — the s input rows feeding one output row.
+    # Written as s² strided copies (offset-major channel blocks): Mosaic
+    # cannot infer layouts for the reshape/transpose formulation.
     _, s, w, c = x_ref.shape
-    x = x_ref[0]                      # (s, W, C)
-    x = x.reshape(s, w // s, s, c)    # (p, wi, q, c)
-    x = x.transpose(1, 0, 2, 3)       # (wi, p, q, c)
-    out_ref[0, 0] = x.reshape(w // s, s * s * c)
+    for p in range(s):
+        for q in range(s):
+            o = p * s + q
+            out_ref[0, 0, :, o * c:(o + 1) * c] = x_ref[0, p, q::s, :]
 
 
 @functools.partial(jax.jit, static_argnames=("stride",))

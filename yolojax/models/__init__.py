@@ -71,6 +71,19 @@ class LayerDef:
     in_ch: int = 0         # filled in by the builder
 
 
+def pallas_active(which: str, enabled: frozenset) -> bool:
+    """Is the Pallas kernel ``which`` selected and runnable on this backend?
+
+    Pallas TPU kernels only execute on TPU (tests exercise them in interpret
+    mode); on other backends the pure-XLA ops are used regardless of config.
+    """
+    if which not in enabled:
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 @dataclass
 class ModelBase:
     """Shared config parsing for all model families."""
@@ -80,13 +93,17 @@ class ModelBase:
     bn: BNConfig = field(default_factory=BNConfig)
     dtype: jnp.dtype = jnp.bfloat16
     width: ChannelResolver = field(default_factory=ChannelResolver)
+    # Pallas kernel selection (``[model] pallas``): subset of
+    # {"nms", "reorg", "dwconv"}; see yolojax.kernels
+    pallas: frozenset = frozenset()
 
     @classmethod
     def from_config(cls, config, anchors, num_classes, **kw):
         dtype = jnp.dtype(config.get("model", "dtype", fallback="bfloat16")) if config else jnp.bfloat16
+        pallas = frozenset(config.get("model", "pallas", fallback="").split()) if config else frozenset()
         return cls(anchors=np.asarray(anchors, np.float32), num_classes=num_classes,
                    bn=BNConfig.from_config(config), dtype=dtype,
-                   width=ChannelResolver.from_config(config), **kw)
+                   width=ChannelResolver.from_config(config), pallas=pallas, **kw)
 
     @property
     def out_channels(self) -> int:

@@ -49,7 +49,8 @@ class _PlanModel(ModelBase):
     def apply(self, params, state, images, train: bool = False):
         """images: (B, H, W, 3) in [0, 1] → raw head (B, H/32, W/32, A*(5+C))."""
         raw, new_state = run_plan(self.plan, params, state, images,
-                                  bn=self.bn, train=train, compute_dtype=self.dtype)
+                                  bn=self.bn, train=train, compute_dtype=self.dtype,
+                                  pallas=self.pallas)
         return raw, new_state
 
     def fold(self, params, state):
@@ -59,7 +60,8 @@ class _PlanModel(ModelBase):
 
     def apply_folded(self, folded, images):
         raw, _ = run_plan(self.plan, folded, {}, images,
-                          bn=self.bn, train=False, compute_dtype=self.dtype)
+                          bn=self.bn, train=False, compute_dtype=self.dtype,
+                          pallas=self.pallas)
         return raw
 
 

@@ -72,8 +72,17 @@ def init_plan(rng, plan):
     return params, state
 
 
-def run_plan(plan, params, state, x, *, bn: BNConfig, train: bool, compute_dtype):
-    """Execute the plan → (output tensor, new_state)."""
+def run_plan(plan, params, state, x, *, bn: BNConfig, train: bool, compute_dtype,
+             pallas: frozenset = frozenset()):
+    """Execute the plan → (output tensor, new_state).
+
+    ``pallas`` selects TPU kernels (inference paths only — the Pallas kernels
+    carry no custom VJPs, so training always lowers through XLA).
+    """
+    from . import pallas_active
+
+    use_reorg_k = not train and pallas_active("reorg", pallas)
+    use_dw_k = not train and pallas_active("dwconv", pallas)
     slots = {}
     new_state = dict(state)
     x = x.astype(compute_dtype)
@@ -81,9 +90,17 @@ def run_plan(plan, params, state, x, *, bn: BNConfig, train: bool, compute_dtype
         kind = op[0]
         if kind == "conv":
             d = op[1]
-            x, ns = conv_apply(params[d.name], state.get(d.name, {}), x,
-                               stride=d.stride, groups=d.groups, act=d.act,
-                               bn=bn, train=train, compute_dtype=compute_dtype)
+            if use_dw_k and d.groups > 1 and d.ksize == 3:
+                from ..kernels.dwconv import dwconv3x3_pallas
+
+                p = params[d.name]
+                y = dwconv3x3_pallas(x, p["w"].astype(compute_dtype), d.stride)
+                x, ns = _post_conv(p, state.get(d.name, {}), y, bn=bn,
+                                   act=d.act, compute_dtype=compute_dtype)
+            else:
+                x, ns = conv_apply(params[d.name], state.get(d.name, {}), x,
+                                   stride=d.stride, groups=d.groups, act=d.act,
+                                   bn=bn, train=train, compute_dtype=compute_dtype)
             if ns:
                 new_state[d.name] = ns
         elif kind == "pool":
@@ -93,12 +110,32 @@ def run_plan(plan, params, state, x, *, bn: BNConfig, train: bool, compute_dtype
         elif kind == "load":
             x = slots[op[1]]
         elif kind == "reorg":
-            x = reorg(x, op[1])
+            if use_reorg_k:
+                from ..kernels.reorg import reorg_pallas
+
+                x = reorg_pallas(x, op[1])
+            else:
+                x = reorg(x, op[1])
         elif kind == "concat":
             x = jax.numpy.concatenate([x, slots[op[1]]], axis=-1)
         else:
             raise ValueError(f"unknown plan op {kind!r}")
     return x, new_state
+
+
+def _post_conv(params, state, y, *, bn, act, compute_dtype):
+    """BN/bias + activation epilogue for externally-computed conv outputs."""
+    from .blocks import leaky_relu
+    import jax.numpy as jnp
+
+    if "gamma" in params and bn.enable:
+        inv = jax.lax.rsqrt(state["var"] + bn.eps) * params["gamma"]
+        y = (y - state["mean"]) * inv + params["beta"]
+    elif "b" in params:
+        y = y + params["b"]
+    if act:
+        y = leaky_relu(y)
+    return y.astype(compute_dtype), {}
 
 
 def fold_plan(plan, params, state, eps: float):

@@ -36,11 +36,22 @@ class Inference:
         return decode(raw, self.anchors)
 
     def detect_fn(self, threshold: float, overlap: float, topk: int):
-        """Build the fully-fused jitted (folded, images) → PostProcessed fn."""
+        """Build the fully-fused jitted (folded, images) → PostProcessed fn.
+
+        Uses the Pallas NMS kernel when ``[model] pallas`` selects it and the
+        backend is TPU; the XLA while-loop NMS otherwise.
+        """
+        from ..models import pallas_active
+
+        use_pallas = pallas_active("nms", self.model.pallas)
 
         @jax.jit
         def run(folded, images) -> PostProcessed:
             det = self(folded, images)
+            if use_pallas:
+                from ..kernels.nms import postprocess_pallas
+
+                return postprocess_pallas(det, threshold, overlap, topk)
             return postprocess(det, threshold, overlap, topk)
 
         return run
