@@ -126,3 +126,35 @@ def test_imported_weights_forward_matches_original(tmp_path, rng):
     a, _ = model.apply(params, state, x, train=False)
     b, _ = model.apply(p2, s2, x, train=False)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_reinit_head_on_class_mismatch(tmp_path, rng):
+    """Finetune path: weights trained for another class count import with a
+    fresh head (SURVEY.md §2.13)."""
+    donor = Tiny(anchors=ANCHORS, num_classes=7, dtype=jnp.float32)
+    d_params, d_state = donor.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "donor.weights")
+    save_weights(path, donor, d_params, d_state, seen=5)
+
+    target = make_tiny(num_classes=3)
+    with pytest.raises(ValueError):
+        load_weights(path, target)  # strict mode still rejects
+    params, state, seen = load_weights(path, target, reinit_head_on_mismatch=True)
+    assert seen == 5
+    # trunk transferred exactly; head shaped for the new class count
+    np.testing.assert_array_equal(np.asarray(params["c1"]["w"]),
+                                  np.asarray(d_params["c1"]["w"]))
+    assert params["out"]["w"].shape[-1] == 2 * (5 + 3)
+
+
+def test_reinit_head_rejects_garbage_tail(tmp_path, rng):
+    model = make_tiny()
+    params, state = model.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "w.weights")
+    save_weights(path, model, params, state)
+    data = open(path, "rb").read() + b"\x00" * 12  # not a whole out-channel
+    bad = str(tmp_path / "bad.weights")
+    with open(bad, "wb") as f:
+        f.write(data)
+    with pytest.raises(ValueError, match="head mismatch"):
+        load_weights(bad, model, reinit_head_on_mismatch=True)

@@ -141,3 +141,15 @@ def load(config, phase, category):
     """Fake dataset module hook for test_cache_roundtrip."""
     return [make_record("a.jpg", [[0.1, 0.1]], [[0.5, 0.5]], [0]),
             make_record("b.jpg", [[0.2, 0.2]], [[0.9, 0.9]], [1])]
+
+
+def test_loader_multihost_sharding():
+    """Seed-synchronized shards are disjoint and exhaustive (SURVEY.md §2.17
+    multi-host data path)."""
+    ds, _ = synthetic_dataset(n=12)
+    seen = []
+    for rank in range(3):
+        loader = Loader(ds, batch_size=2, workers=1, seed=5, shard=(rank, 3))
+        for b in loader.epoch():
+            seen.extend(b["index"].tolist())
+    assert sorted(seen) == list(range(12))

@@ -24,7 +24,7 @@ def build(config):
 
 
 def load_weights_auto(config, model, path: str | None = None, resume: bool = False,
-                      rng_seed: int = 0):
+                      rng_seed: int = 0, reinit_head: bool = False):
     """Resolve initial (params, state, meta) like the reference's train/eval:
 
     explicit ``path`` (npz checkpoint or darknet .weights) > ``resume`` from
@@ -40,7 +40,8 @@ def load_weights_auto(config, model, path: str | None = None, resume: bool = Fal
     if path.endswith(".weights"):
         from ..tools.darknet import load_weights
 
-        params, state, seen = load_weights(path, model)
+        params, state, seen = load_weights(
+            path, model, reinit_head_on_mismatch=reinit_head, head_rng_seed=rng_seed)
         _LOG.info("imported darknet weights %s (seen=%d)", path, seen)
         return params, state, {"seen": seen}
     trees, meta = ckpt.load(path, {"params": params, "state": state})

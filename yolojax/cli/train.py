@@ -61,12 +61,14 @@ class Train:
         self.batch_size = args.batch or config.getint("data", "batch_size", fallback=16)
         self.loader = Loader(dataset, self.batch_size,
                              workers=config.getint("data", "workers", fallback=3),
-                             seed=config.getint("train", "seed", fallback=0))
+                             seed=config.getint("train", "seed", fallback=0),
+                             shard=(jax.process_index(), jax.process_count()))
         self.steps_per_epoch = len(dataset) // self.batch_size
 
         self.params, self.state, meta = load_weights_auto(
             config, self.model, args.finetune, resume=args.resume,
-            rng_seed=config.getint("train", "seed", fallback=0))
+            rng_seed=config.getint("train", "seed", fallback=0),
+            reinit_head=True)  # finetune from mismatched-class darknet weights
         self.optimizer = build_optimizer(config)
         self.opt_state = self.optimizer.init(self.params)
         self.step = int(meta.get("step", 0))
@@ -97,6 +99,7 @@ class Train:
                                 keep=config.getint("save", "keep", fallback=5))
         self.summary = Summary(model_dir, config)
         self.meter = Meter()
+        self.profile_dir = None
         from ..config import parse_attr
         self.schedule = parse_attr(config.get(
             "train", "scheduler", fallback="yolojax.utils.train.step_schedule"))(config)
@@ -159,7 +162,16 @@ class Train:
                     self.params, self.state, self.opt_state, dev_batch,
                     jnp.int32(min(self.seen, 2**31 - 1)))
                 self.step += 1
-                self.seen += self.batch_size
+                self.seen += self.batch_size * jax.process_count()
+
+                if self.profile_dir is not None:  # trace a steady-state window
+                    if self.step == 10:
+                        jax.profiler.start_trace(self.profile_dir)
+                    elif self.step == 20:
+                        jax.block_until_ready(self.params)
+                        jax.profiler.stop_trace()
+                        _LOG.info("profiler trace written to %s", self.profile_dir)
+                        self.profile_dir = None
 
                 if self.summary.due("scalar", self.step):
                     vals = {k: float(v) for k, v in metrics.items()}
@@ -200,9 +212,18 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=None)
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--steps", type=int, default=None, help="hard step cap")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="jax_debug_nans dev flag (SURVEY.md §5 sanitizer analog)")
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of steps 10-20 into DIR")
     args = parser.parse_args(argv)
     config = setup(args)
-    Train(args, config)(max_steps=args.steps)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    train = Train(args, config)
+    if args.profile:
+        train.profile_dir = args.profile
+    train(max_steps=args.steps)
     return 0
 
 

@@ -30,20 +30,28 @@ class Loader:
     """Iterates shuffled, collated host batches forever (or one epoch)."""
 
     def __init__(self, dataset, batch_size: int, *, workers: int = 3, seed: int = 0,
-                 shuffle: bool = True, drop_last: bool = True, depth: int = 3):
+                 shuffle: bool = True, drop_last: bool = True, depth: int = 3,
+                 shard: tuple[int, int] = (0, 1)):
+        """``shard=(process_index, process_count)`` splits each epoch across
+        hosts for multi-host pods (every process feeds its local devices over
+        DCN while the sharded step reduces over ICI — SURVEY.md §2.17); the
+        shuffle is seed-synchronized so shards are disjoint and exhaustive.
+        """
         self.dataset = dataset
         self.batch_size = batch_size
         self.workers = max(1, workers)
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.depth = depth
+        self.shard = shard
         self.rng = np.random.default_rng(seed)
 
     def _epoch_order(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
-        return order
+        index, count = self.shard
+        return order[index::count] if count > 1 else order
 
     def _batches(self, order):
         b = self.batch_size

@@ -64,11 +64,17 @@ class _Reader:
         return out.copy()
 
 
-def load_weights(path: str, model):
+def load_weights(path: str, model, reinit_head_on_mismatch: bool = False,
+                 head_rng_seed: int = 0):
     """Read a darknet ``.weights`` file into (params, state) for ``model``.
 
     Layer order follows ``model.layer_defs`` (plan order == cfg order).
     Returns (params, state, seen) — ``seen`` feeds the loss warmup schedule.
+
+    ``reinit_head_on_mismatch`` enables the reference's finetune behavior
+    (SURVEY.md §2.13): when the file's final conv was trained for a different
+    class count, its bytes are consumed and discarded and the model keeps a
+    freshly-initialized head.
     """
     r = _Reader(os.path.expanduser(path))
     major, minor, _rev = (int(v) for v in r.take(3, np.int32))
@@ -79,6 +85,28 @@ def load_weights(path: str, model):
     perm = head_permutation(len(model.anchors), model.num_classes)
     for d in defs:
         n = d.out_ch
+        if d is defs[-1] and reinit_head_on_mismatch and not d.bn:
+            expected = n * 4 + n * (d.in_ch // d.groups) * d.ksize * d.ksize * 4
+            remaining = r.size - r.pos
+            if remaining != expected:
+                # head trained for a different class count: validate the
+                # remainder parses as bias+weights of SOME channel count,
+                # discard it, and keep the fresh init for this layer
+                per_out = (1 + (d.in_ch // d.groups) * d.ksize * d.ksize) * 4
+                if remaining % per_out:
+                    raise ValueError(
+                        f"darknet head mismatch: {remaining} trailing bytes "
+                        f"do not parse as a {d.ksize}x{d.ksize} conv over "
+                        f"{d.in_ch} inputs")
+                r.take(remaining // 4, np.float32)
+                import jax
+
+                from ..models.blocks import conv_init
+
+                p, _ = conv_init(jax.random.PRNGKey(head_rng_seed),
+                                 d.in_ch, n, d.ksize, use_bn=False)
+                params[d.name] = p
+                continue
         p: dict = {}
         if d.bn:
             p["beta"] = jnp.asarray(r.take(n, np.float32))
