@@ -26,6 +26,7 @@ def bench_infer(batch: int, iters: int) -> float:
     import jax
 
     from __graft_entry__ import _flagship
+    from yolojax.models import pallas_active
     from yolojax.models.inference import Inference
     from yolojax.ops.postprocess import postprocess
 
@@ -33,11 +34,17 @@ def bench_infer(batch: int, iters: int) -> float:
     params, state = model.init(jax.random.PRNGKey(0))
     inference = Inference(model)
     folded = inference.fold(params, state)
+    use_pallas = pallas_active("nms", model.pallas)
 
     @jax.jit
     def run(folded, images):
         det = inference(folded, images)
-        out = postprocess(det, threshold=0.005, overlap=0.45, topk=100)
+        if use_pallas:
+            from yolojax.kernels.nms import postprocess_pallas
+
+            out = postprocess_pallas(det, threshold=0.005, overlap=0.45, topk=100)
+        else:
+            out = postprocess(det, threshold=0.005, overlap=0.45, topk=100)
         # scalar summary: fetching it forces the whole pipeline to finish
         # (block_until_ready is unreliable through the axon tunnel)
         return out.conf.sum()
