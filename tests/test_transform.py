@@ -34,13 +34,25 @@ def test_letterbox_geometry(rng):
     canvas, hw = canvas_with_image(rng=rng)
     imgs, scale, pad = letterbox_batch(canvas[None], hw[None], 32)
     # scale = min(32/40, 32/48) = 2/3; pads: y: (32-40*2/3)/2, x: (32-32)/2=0
-    np.testing.assert_allclose(float(scale[0]), 32 / 48, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(scale[0]), [32 / 48, 32 / 48], rtol=1e-6)
     np.testing.assert_allclose(np.asarray(pad[0]), [(32 - 40 * 32 / 48) / 2, 0], atol=1e-5)
     assert imgs.shape == (1, 32, 32, 3)
     out = np.asarray(imgs[0])
     # letterbox bands are gray
     assert np.allclose(out[0], 127 / 255, atol=0.02)
     assert np.allclose(out[-1], 127 / 255, atol=0.02)
+
+
+def test_stretch_geometry(rng):
+    from yolojax.data.transform import stretch_batch
+
+    canvas, hw = canvas_with_image(rng=rng)  # image 40×48
+    imgs, scale, pad = stretch_batch(canvas[None], hw[None], 32)
+    np.testing.assert_allclose(np.asarray(scale[0]), [32 / 40, 32 / 48], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pad[0]), [0, 0])
+    out = np.asarray(imgs[0])
+    # no gray bands: the whole output is image content (corners not gray)
+    assert not np.allclose(out[0], 127 / 255, atol=0.02)
 
 
 def test_letterbox_pixel_mapping():

@@ -15,7 +15,7 @@ import jax
 import numpy as np
 
 from ..data.dataset import GRAY
-from ..data.transform import letterbox_batch
+from ..data.transform import resize_from_config
 from ..models.inference import Inference
 from ..utils.visualize import draw_boxes
 from . import make_parser, setup
@@ -51,9 +51,10 @@ def detect_image(config, model, params, state, image: np.ndarray, size: int):
 
     canvas_size = config.getint("data", "canvas", fallback=672)
     canvas, hw = _to_canvas(image, canvas_size)
-    images, scale, pad = letterbox_batch(canvas[None], hw[None], size)
+    resize = resize_from_config(config)
+    images, scale, pad = resize(canvas[None], hw[None], size)
     out = jax.device_get(run(folded, images))
-    scale, pad = float(scale[0]), np.asarray(pad[0])
+    scale, pad = np.asarray(scale[0]), np.asarray(pad[0])
 
     boxes_min, boxes_max, cls, conf = [], [], [], []
     num_classes = out.conf.shape[1]

@@ -21,7 +21,7 @@ from .. import config as _config
 from ..data.cache import load_cache
 from ..data.dataset import Dataset
 from ..data.loader import Loader
-from ..data.transform import letterbox_batch
+from ..data.transform import resize_from_config
 from ..eval_ap import DetectionRecorder, evaluate
 from ..models.inference import Inference
 from ..utils.metrics import Meter
@@ -51,9 +51,10 @@ def run_eval(config, model, params, state, records, size: int, batch_size: int,
                     shuffle=False, drop_last=False)
     recorder = DetectionRecorder(len(category))
     meter = Meter()
+    resize = resize_from_config(config)
 
     for batch in loader.epoch():
-        images, scale, pad = letterbox_batch(batch["canvas"], batch["hw"], size)
+        images, scale, pad = resize(batch["canvas"], batch["hw"], size)
         out = detect(folded, images)
         out = jax.device_get(out)
         scale, pad = np.asarray(scale), np.asarray(pad)
@@ -69,7 +70,7 @@ def run_eval(config, model, params, state, records, size: int, batch_size: int,
                 keep = out.keep[b, c]
                 if not keep.any():
                     continue
-                # letterbox inversion → original-image normalized coords
+                # resize inversion → original-image normalized coords
                 dmin = (out.yx_min[b, c][keep] * size - pad[b]) / scale[b] / hw
                 dmax = (out.yx_max[b, c][keep] * size - pad[b]) / scale[b] / hw
                 conf = out.conf[b, c][keep]

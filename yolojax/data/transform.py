@@ -202,34 +202,61 @@ class TrainAugment:
 
 
 # --------------------------------------------------------------------------
-# deterministic eval/detect resize
+# deterministic eval/detect resize family (SURVEY.md §2.5 "Resize family":
+# plain rescale and letterbox-style fit; selected by ``[transform] resize``).
+# Both return per-image per-axis (scale (2,), pad (2,)); detections in
+# output-normalized coords map back via ``orig_px = (coord*S - pad) / scale``.
 # --------------------------------------------------------------------------
 
-def _letterbox_one(canvas, hw, out_size: int):
+def _affine_resize(canvas, hw, out_size: int, scale, pad):
     c = canvas.shape[0]
-    s = float(out_size)
     origin = (jnp.asarray([c, c], jnp.float32) - hw) * 0.5
-    scale = jnp.min(s / hw)
-    pad = (s - hw * scale) * 0.5
     translation = pad - origin * scale
-    img = jax.image.scale_and_translate(
+    return jax.image.scale_and_translate(
         canvas.astype(jnp.float32) / 255.0, (out_size, out_size, 3), (0, 1),
-        jnp.stack([scale, scale]), translation, method="linear", antialias=True)
-    return img, scale, pad
+        scale, translation, method="linear", antialias=True)
+
+
+def _letterbox_one(canvas, hw, out_size: int):
+    s = float(out_size)
+    scale = jnp.broadcast_to(jnp.min(s / hw), (2,))
+    pad = (s - hw * scale) * 0.5
+    return _affine_resize(canvas, hw, out_size, scale, pad), scale, pad
+
+
+def _stretch_one(canvas, hw, out_size: int):
+    # darknet's plain resize: per-axis stretch to the square network input —
+    # the geometry the training pipeline produces (crop disabled ⇒ stretch),
+    # and the one the paper's numbers use
+    s = float(out_size)
+    scale = s / hw
+    pad = jnp.zeros((2,), jnp.float32)
+    return _affine_resize(canvas, hw, out_size, scale, pad), scale, pad
 
 
 @partial(jax.jit, static_argnames=("out_size",))
 def letterbox_batch(canvas, hw, out_size: int):
-    """(B,C,C,3) u8 + sizes → letterboxed (B,S,S,3) f32, per-image (scale, pad).
-
-    Detections in output-normalized coords map back to original pixels via
-    ``orig_px = (coord * S - pad) / scale``.
-    """
+    """Aspect-preserving fit with gray bands; (B,C,C,3) u8 → (B,S,S,3) f32."""
     return jax.vmap(_letterbox_one, in_axes=(0, 0, None))(
         canvas, hw.astype(jnp.float32), out_size)
 
 
-def letterbox(canvas, hw, out_size: int):
-    """Single-image convenience wrapper."""
-    img, scale, pad = letterbox_batch(canvas[None], jnp.asarray(hw)[None], out_size)
-    return img[0], scale[0], pad[0]
+@partial(jax.jit, static_argnames=("out_size",))
+def stretch_batch(canvas, hw, out_size: int):
+    """Per-axis stretch to S×S (darknet eval resize)."""
+    return jax.vmap(_stretch_one, in_axes=(0, 0, None))(
+        canvas, hw.astype(jnp.float32), out_size)
+
+
+# ini-visible names for ``[transform] resize``
+letterbox = letterbox_batch
+stretch = stretch_batch
+
+
+def resize_from_config(config):
+    """Resolve the eval/detect resize fn (``[transform] resize`` dotted path)."""
+    from ..config import parse_attr
+
+    path = config.get("transform", "resize",
+                      fallback="yolojax.data.transform.stretch")
+    return parse_attr(path)
