@@ -148,3 +148,35 @@ def test_optimizer_factories_from_config():
     grads = jax.tree_util.tree_map(jnp.ones_like, params)
     updates, _ = opt.update(grads, opt_state, params)
     assert np.isfinite(float(optax.global_norm(updates)))
+
+
+def test_fused_augment_step_mesh_matches_single(rng):
+    """The augment-fused sharded step equals the unsharded fused step."""
+    from yolojax.data.transform import TrainAugment
+
+    aug = TrainAugment(hsv=False)  # deterministic enough across lowerings
+    b, c, g, size = 8, 96, 3, 64
+    center = rng.uniform(0.3, 0.7, (b, g, 2)).astype(np.float32)
+    half = rng.uniform(0.05, 0.2, (b, g, 2)).astype(np.float32)
+    batch = {
+        "canvas": rng.integers(0, 255, (b, c, c, 3), dtype=np.uint8),
+        "hw": np.full((b, 2), 80, np.float32),
+        "yx_min": np.clip(center - half, 0, 1),
+        "yx_max": np.clip(center + half, 0, 1),
+        "cls": rng.integers(0, 4, (b, g)).astype(np.int32),
+        "valid": np.ones((b, g), bool),
+    }
+    key = jax.random.PRNGKey(3)
+    seen = jnp.int32(0)
+
+    model, params, state, opt, opt_state = build()
+    step1 = make_train_step(model, opt, WEIGHTS, LossConfig(), augment=aug)
+    p1, s1, o1, m1 = step1(params, state, opt_state, batch, seen, key, size)
+
+    model, params, state, opt, opt_state = build()
+    step8 = make_train_step(model, opt, WEIGHTS, LossConfig(),
+                            mesh=make_mesh(8), augment=aug)
+    p8, s8, o8, m8 = step8(params, state, opt_state, batch, seen, key, size)
+
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m8[k]), rtol=5e-3, err_msg=k)

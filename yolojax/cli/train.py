@@ -83,11 +83,12 @@ class Train:
             ignore_threshold=config.getfloat("loss", "threshold", fallback=0.6),
             rescore=config.getboolean("loss", "rescore", fallback=True),
             warmup_seen=config.getint("train", "warmup_seen", fallback=12800))
+        self.augment = TrainAugment.from_config(config)
+        # augmentation is fused INTO the sharded step: one executable per
+        # bucketed size, preprocessing data-parallel across the mesh
         self.train_step = make_train_step(
             self.model, self.optimizer, loss_weights_from_config(config),
-            loss_cfg, mesh=self.mesh)
-
-        self.augment = TrainAugment.from_config(config)
+            loss_cfg, mesh=self.mesh, augment=self.augment)
         self.sizes = multi_scale_sizes(config)
         self.interval = config.getint("train", "multi_scale_interval", fallback=10)
         self.rng = np.random.default_rng(config.getint("train", "seed", fallback=0))
@@ -121,15 +122,10 @@ class Train:
         }
         t0 = time.time()
         for size in self.sizes:
-            key = jax.random.PRNGKey(0)
-            images, bmin, bmax, bvalid = self.augment(
-                key, dummy["canvas"], dummy["hw"], dummy["yx_min"],
-                dummy["yx_max"], dummy["valid"], size)
-            batch = {"images": images, "yx_min": bmin, "yx_max": bmax,
-                     "cls": dummy["cls"], "valid": bvalid}
-            # AOT-compile the step without executing (donation-safe)
+            # AOT-compile the fused augment+step without executing
             self.train_step.lower(self.params, self.state, self.opt_state,
-                                  batch, jnp.int32(0)).compile()
+                                  dummy, jnp.int32(0), jax.random.PRNGKey(0),
+                                  size).compile()
             _LOG.info("prewarmed size %d (%.1fs)", size, time.time() - t0)
 
     def save(self, tag: str = ""):
@@ -153,14 +149,11 @@ class Train:
                 if self.step % self.interval == 0:
                     size = int(self.rng.choice(self.sizes))
                 key = jax.random.fold_in(self.key, self.step)
-                images, bmin, bmax, bvalid = self.augment(
-                    key, batch["canvas"], batch["hw"], batch["yx_min"],
-                    batch["yx_max"], batch["valid"], size)
-                dev_batch = {"images": images, "yx_min": bmin, "yx_max": bmax,
-                             "cls": batch["cls"], "valid": bvalid}
+                dev_batch = {k: batch[k] for k in
+                             ("canvas", "hw", "yx_min", "yx_max", "cls", "valid")}
                 self.params, self.state, self.opt_state, metrics = self.train_step(
                     self.params, self.state, self.opt_state, dev_batch,
-                    jnp.int32(min(self.seen, 2**31 - 1)))
+                    jnp.int32(min(self.seen, 2**31 - 1)), key, size)
                 self.step += 1
                 self.seen += self.batch_size * jax.process_count()
 
@@ -186,9 +179,14 @@ class Train:
                 if self.summary.due("histogram", self.step):
                     self.summary.histogram(self.step, self.params, "params/")
                 if self.summary.due("image", self.step):
-                    img = np.asarray(images[0], np.float32)
+                    # rerun the (cheap) standalone augment for visualization
+                    images, bmin, bmax, bvalid = self.augment(
+                        key, batch["canvas"][:1], batch["hw"][:1],
+                        batch["yx_min"][:1], batch["yx_max"][:1],
+                        batch["valid"][:1], size)
                     v = np.asarray(bvalid[0])
-                    drawn = draw_boxes(img, np.asarray(bmin[0])[v],
+                    drawn = draw_boxes(np.asarray(images[0], np.float32),
+                                       np.asarray(bmin[0])[v],
                                        np.asarray(bmax[0])[v],
                                        np.asarray(batch["cls"][0])[v],
                                        category=self.category)

@@ -67,23 +67,32 @@ def loss_weights_from_config(config) -> dict[str, float]:
 
 def make_train_step(model, optimizer: optax.GradientTransformation,
                     weights: dict[str, float], loss_cfg: LossConfig,
-                    mesh: Mesh | None = None):
+                    mesh: Mesh | None = None, augment=None):
     """Build the jitted train step.
 
-    step(params, state, opt_state, batch, seen) →
-        (params, state, opt_state, metrics)
+    Without ``augment``:
+        step(params, state, opt_state, batch, seen)
+    with ``batch`` = {images (B,S,S,3) f32, yx_min, yx_max, cls, valid}.
 
-    ``batch`` is a dict with images (B,S,S,3) f32 and padded labels;
+    With ``augment`` (a TrainAugment), the fused augmentation graph becomes
+    part of the same SPMD program:
+        step(params, state, opt_state, batch, seen, key, out_size)
+    with ``batch`` = {canvas (B,C,C,3) u8, hw, yx_min, yx_max, cls, valid}
+    and static ``out_size`` — so the decode-to-normalized → crop/flip/HSV →
+    forward → loss → update pipeline is ONE executable per bucketed size,
+    and under a mesh the augmentation itself is data-parallel (the
+    standalone-augment variant would materialize images on one device and
+    reshard every step).
+
     ``seen`` is a replicated i32 scalar driving loss warmup.
-    Distinct image sizes S produce distinct cached executables.
     """
     anchors = jnp.asarray(model.anchors)
 
-    def step(params, state, opt_state, batch, seen):
+    def _update(params, state, opt_state, images, yx_min, yx_max, cls, valid, seen):
         def loss_fn(p):
-            raw, new_state = model.apply(p, state, batch["images"], train=True)
-            comps = region_loss(raw, anchors, batch["yx_min"], batch["yx_max"],
-                                batch["cls"], batch["valid"], seen, loss_cfg)
+            raw, new_state = model.apply(p, state, images, train=True)
+            comps = region_loss(raw, anchors, yx_min, yx_max, cls, valid,
+                                seen, loss_cfg)
             total = sum(weights[k] * comps[k] for k in comps)
             return total, (comps, new_state)
 
@@ -94,16 +103,36 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
                        grad_norm=optax.global_norm(grads))
         return new_params, new_state, new_opt_state, metrics
 
+    if augment is None:
+        def step(params, state, opt_state, batch, seen):
+            return _update(params, state, opt_state, batch["images"],
+                           batch["yx_min"], batch["yx_max"], batch["cls"],
+                           batch["valid"], seen)
+
+        donate, n_repl_tail = (0, 1, 2), 1
+    else:
+        def step(params, state, opt_state, batch, seen, key, out_size: int):
+            images, ymin, ymax, valid = augment(
+                key, batch["canvas"], batch["hw"], batch["yx_min"],
+                batch["yx_max"], batch["valid"], out_size)
+            return _update(params, state, opt_state, images, ymin, ymax,
+                           batch["cls"], valid, seen)
+
+        donate, n_repl_tail = (0, 1, 2), 2
+
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0, 1, 2))
+        return jax.jit(step, donate_argnums=donate,
+                       static_argnums=() if augment is None else (6,))
 
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
-    batch_spec = {"images": data, "yx_min": data, "yx_max": data,
-                  "cls": data, "valid": data}
+    keys = (("canvas", "hw") if augment is not None else ("images",)) + (
+        "yx_min", "yx_max", "cls", "valid")
+    batch_spec = {k: data for k in keys}
     return jax.jit(
         step,
-        in_shardings=(repl, repl, repl, batch_spec, repl),
+        in_shardings=(repl, repl, repl, batch_spec) + (repl,) * n_repl_tail,
         out_shardings=(repl, repl, repl, repl),
-        donate_argnums=(0, 1, 2),
+        donate_argnums=donate,
+        static_argnums=() if augment is None else (6,),
     )
