@@ -93,3 +93,26 @@ def test_dwconv_pallas_matches_lax(rng, stride, shape):
     want = np.asarray(_dw_reference(jnp.asarray(x), jnp.asarray(w), stride))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_postprocess_pallas_matches_xla(rng):
+    from yolojax.kernels.nms import postprocess_pallas
+    from yolojax.ops.decode import Detections
+    from yolojax.ops.postprocess import postprocess
+
+    b, n, c = 2, 45, 5
+    center = rng.uniform(0.2, 0.8, (b, n, 2)).astype(np.float32)
+    half = rng.uniform(0.05, 0.2, (b, n, 2)).astype(np.float32)
+    conf = rng.uniform(0, 1, (b, n, c)).astype(np.float32) ** 3
+    iou = rng.uniform(0, 1, (b, n)).astype(np.float32)
+    det = Detections(jnp.asarray(center - half), jnp.asarray(center + half),
+                     jnp.asarray(iou), jnp.asarray(conf), jnp.asarray(conf))
+    a = postprocess(det, 0.05, 0.45, 10)
+    p = postprocess_pallas(det, 0.05, 0.45, 10)
+    np.testing.assert_array_equal(np.asarray(a.keep), np.asarray(p.keep))
+    keep = np.asarray(a.keep)
+    np.testing.assert_allclose(np.where(keep, np.asarray(a.conf), 0),
+                               np.where(keep, np.asarray(p.conf), 0), rtol=1e-6)
+    np.testing.assert_allclose(np.where(keep[..., None], np.asarray(a.yx_min), 0),
+                               np.where(keep[..., None], np.asarray(p.yx_min), 0),
+                               rtol=1e-6)

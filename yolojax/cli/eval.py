@@ -78,6 +78,7 @@ def run_eval(config, model, params, state, records, size: int, batch_size: int,
                                         conf, np.full(len(conf), c))
     result = evaluate(recorder, iou_threshold=iou, use_07_metric=use07)
     result["rate"] = meter.rate
+    result["recorder"] = recorder
     return result
 
 
@@ -87,6 +88,9 @@ def main(argv=None):
                         help="checkpoint .npz or darknet .weights (default: latest)")
     parser.add_argument("--size", type=int, default=None, help="eval input size")
     parser.add_argument("--batch", type=int, default=None)
+    parser.add_argument("--results", default=None, metavar="PATH",
+                        help="also dump every detection as jsonl (reference's "
+                             "optional results file, SURVEY.md §2.14)")
     args = parser.parse_args(argv)
     config = setup(args)
 
@@ -104,6 +108,17 @@ def main(argv=None):
     _LOG.info("mAP@%.2f = %.4f  (%d images, %.1f img/s, %.1fs)",
               config.getfloat("eval", "iou", fallback=0.5), result["map"],
               len(records), result["rate"], time.time() - t0)
+
+    if args.results:
+        with open(args.results, "w") as f:
+            for c, dets in result["recorder"].dets.items():
+                for img, conf, dmin, dmax in dets:
+                    f.write(json.dumps({
+                        "image": int(img), "category": category[c],
+                        "conf": round(conf, 5),
+                        "yx_min": [round(float(v), 5) for v in dmin],
+                        "yx_max": [round(float(v), 5) for v in dmax]}) + "\n")
+        _LOG.info("wrote detections to %s", args.results)
 
     db = _config.get_eval_db(config)
     os.makedirs(os.path.dirname(db), exist_ok=True)

@@ -39,16 +39,13 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _nms_kernel(boxes_ref, scores_ref, idx_ref, conf_ref, count_ref,
-                *, threshold: float, overlap: float, max_out: int):
-    """Block of L rows: boxes (L, 4, Np), scores (L, Np) → picks (L, mo)."""
-    l, n = scores_ref.shape
-    mo = idx_ref.shape[1]
-    ymin = boxes_ref[:, 0, :]
-    xmin = boxes_ref[:, 1, :]
-    ymax = boxes_ref[:, 2, :]
-    xmax = boxes_ref[:, 3, :]
-    area = jnp.maximum(ymax - ymin, 0.0) * jnp.maximum(xmax - xmin, 0.0)  # (L, Np)
+def _nms_loop(ymin, xmin, ymax, xmax, scores, *, threshold: float,
+              overlap: float, max_out: int, mo: int):
+    """Row-vectorized greedy loop. Box components broadcast against the
+    (L, Np) score rows (they may be (1, Np) when rows share one candidate
+    set). Returns (count (L,1), idx (L,mo), conf (L,mo))."""
+    l, n = scores.shape
+    area = jnp.maximum(ymax - ymin, 0.0) * jnp.maximum(xmax - xmin, 0.0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (l, n), 1)
     out_lane = jax.lax.broadcasted_iota(jnp.int32, (l, mo), 1)
     neg = jnp.float32(-jnp.inf)
@@ -81,11 +78,35 @@ def _nms_kernel(boxes_ref, scores_ref, idx_ref, conf_ref, count_ref,
 
     k, _, idxv, confv = jax.lax.while_loop(
         cond, body,
-        (jnp.zeros((l, 1), jnp.int32), scores_ref[...],
+        (jnp.zeros((l, 1), jnp.int32), scores,
          jnp.zeros((l, mo), jnp.int32), jnp.zeros((l, mo), jnp.float32)))
+    return k, idxv, confv
+
+
+def _nms_kernel(boxes_ref, scores_ref, idx_ref, conf_ref, count_ref,
+                *, threshold: float, overlap: float, max_out: int):
+    """Block of L rows with per-row boxes: boxes (L, 4, Np), scores (L, Np)."""
+    k, idxv, confv = _nms_loop(
+        boxes_ref[:, 0, :], boxes_ref[:, 1, :], boxes_ref[:, 2, :],
+        boxes_ref[:, 3, :], scores_ref[...], threshold=threshold,
+        overlap=overlap, max_out=max_out, mo=idx_ref.shape[1])
     idx_ref[...] = idxv
     conf_ref[...] = confv
     count_ref[...] = jnp.broadcast_to(k, count_ref.shape)
+
+
+def _nms_kernel_shared(boxes_ref, scores_ref, idx_ref, conf_ref, count_ref,
+                       *, threshold: float, overlap: float, max_out: int):
+    """Per-class rows over ONE image's candidate boxes: boxes (1, 4, Np)
+    shared across the (1, L, Np) score rows — no per-class box broadcast in
+    HBM (the detect path's dominant memory traffic otherwise)."""
+    k, idxv, confv = _nms_loop(
+        boxes_ref[0, 0:1, :], boxes_ref[0, 1:2, :], boxes_ref[0, 2:3, :],
+        boxes_ref[0, 3:4, :], scores_ref[0], threshold=threshold,
+        overlap=overlap, max_out=max_out, mo=idx_ref.shape[2])
+    idx_ref[0] = idxv
+    conf_ref[0] = confv
+    count_ref[0] = jnp.broadcast_to(k, count_ref.shape[1:])
 
 
 @functools.partial(jax.jit, static_argnames=("threshold", "overlap", "max_out"))
@@ -139,14 +160,53 @@ def postprocess_pallas(det, threshold: float, overlap: float, topk: int):
     """Drop-in fused postprocess using the Pallas NMS kernel.
 
     det: ops.decode.Detections → ops.postprocess.PostProcessed.
+    Grid = (image, class-block): each program runs ``_ROWS`` classes over the
+    image's single candidate-box block, so boxes are read once per image
+    instead of once per (image, class).
     """
     from ..ops.postprocess import PostProcessed
 
     b, n, c = det.conf.shape
-    conf = jnp.moveaxis(det.conf, -1, 1)                        # (B, C, N)
-    ymin = jnp.broadcast_to(det.yx_min[:, None], (b, c, n, 2))
-    ymax = jnp.broadcast_to(det.yx_max[:, None], (b, c, n, 2))
-    idx, scores, valid = nms_select_pallas(ymin, ymax, conf, threshold, overlap, topk)
+    np_pad = _round_up(n, _LANES)
+    c_pad = _round_up(c, _ROWS)
+    mo_pad = _round_up(topk, _LANES)
+
+    boxes = jnp.concatenate([det.yx_min, det.yx_max], axis=-1)  # (B, N, 4)
+    boxes = jnp.moveaxis(boxes, -1, 1)                          # (B, 4, N)
+    boxes = jnp.pad(boxes, ((0, 0), (0, 0), (0, np_pad - n)))
+    scores = jnp.moveaxis(det.conf, -1, 1).astype(jnp.float32)  # (B, C, N)
+    scores = jnp.pad(scores, ((0, 0), (0, c_pad - c), (0, np_pad - n)),
+                     constant_values=-jnp.inf)
+
+    kernel = functools.partial(_nms_kernel_shared, threshold=threshold,
+                               overlap=overlap, max_out=topk)
+    idx, conf, count = pl.pallas_call(
+        kernel,
+        grid=(b, c_pad // _ROWS),
+        in_specs=[
+            pl.BlockSpec((1, 4, np_pad), lambda bi, cb: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _ROWS, np_pad), lambda bi, cb: (bi, cb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, _ROWS, mo_pad), lambda bi, cb: (bi, cb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _ROWS, mo_pad), lambda bi, cb: (bi, cb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _ROWS, _LANES), lambda bi, cb: (bi, cb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, c_pad, mo_pad), jnp.int32),
+            jax.ShapeDtypeStruct((b, c_pad, mo_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, c_pad, _LANES), jnp.int32),
+        ],
+    )(boxes, scores)
+
+    idx = idx[:, :c, :topk]
+    conf = conf[:, :c, :topk]
+    valid = jnp.arange(topk) < count[:, :c, 0][..., None]
     out_min = jnp.take_along_axis(det.yx_min[:, None], idx[..., None], axis=2)
     out_max = jnp.take_along_axis(det.yx_max[:, None], idx[..., None], axis=2)
-    return PostProcessed(out_min, out_max, scores, valid)
+    return PostProcessed(out_min, out_max, conf, valid)
