@@ -99,11 +99,41 @@ def bench_train(batch: int, iters: int) -> float:
     return batch * iters / dt
 
 
+def bench_pipeline(batch: int, iters: int) -> float:
+    """Host input pipeline: JPEG decode + canvas pack + collate throughput."""
+    import tempfile
+
+    import cv2
+
+    from yolojax.data.cache import make_record
+    from yolojax.data.dataset import Dataset
+    from yolojax.data.loader import Loader
+
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp(prefix="bench_pipe")
+    records = []
+    for i in range(256):
+        h, w = int(rng.integers(300, 500)), int(rng.integers(300, 500))
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        path = os.path.join(tmp, f"{i}.jpg")
+        cv2.imwrite(path, img)
+        records.append(make_record(path, [[0.1, 0.1]], [[0.5, 0.5]], [0]))
+    dataset = Dataset(records, canvas=672, max_boxes=60)
+    loader = Loader(dataset, batch, workers=os.cpu_count() or 4)
+    it = iter(loader)
+    next(it)  # warm the pool
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        next(it)
+    return batch * iters / (time.perf_counter() - t0)
+
+
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
     mode = os.environ.get("BENCH_MODE", "infer")
-    rate = bench_infer(batch, iters) if mode == "infer" else bench_train(batch, iters)
+    rate = {"infer": bench_infer, "train": bench_train,
+            "pipeline": bench_pipeline}[mode](batch, iters)
     print(json.dumps({
         "metric": f"yolov2_416_{mode}_images_per_sec_per_chip",
         "value": round(rate, 2),

@@ -153,3 +153,20 @@ def test_loader_multihost_sharding():
         for b in loader.epoch():
             seen.extend(b["index"].tolist())
     assert sorted(seen) == list(range(12))
+
+
+def test_decoded_cache_memmap(tmp_path):
+    """Decoded-canvas cache returns identical items and survives re-attach."""
+    ds, _ = synthetic_dataset(n=5)
+    plain = [ds.load(i) for i in range(5)]
+    cached = Dataset(ds.records, canvas=64, max_boxes=5, imread=ds.imread,
+                     decoded_dir=str(tmp_path))
+    for i in range(5):
+        item = cached.load(i)
+        np.testing.assert_array_equal(item["canvas"], plain[i]["canvas"])
+        np.testing.assert_array_equal(item["hw"], plain[i]["hw"])
+    # re-attach uses the existing memmap (no imread needed)
+    blind = Dataset(ds.records, canvas=64, max_boxes=5,
+                    imread=lambda p: (_ for _ in ()).throw(RuntimeError("no decode")),
+                    decoded_dir=str(tmp_path))
+    np.testing.assert_array_equal(blind.load(2)["canvas"], plain[2]["canvas"])

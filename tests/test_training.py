@@ -180,3 +180,18 @@ def test_fused_augment_step_mesh_matches_single(rng):
 
     for k in m1:
         np.testing.assert_allclose(float(m1[k]), float(m8[k]), rtol=5e-3, err_msg=k)
+
+
+def test_frozen_layers_receive_no_updates(rng):
+    from yolojax.utils.train import with_frozen
+
+    model, params, state, _, _ = build()
+    opt = with_frozen(optax.sgd(0.1), params, ["c1", "c2"])
+    opt_state = opt.init(params)
+    step = make_train_step(model, opt, WEIGHTS, LossConfig())
+    before = {k: np.asarray(v["w"]).copy() for k, v in params.items()}
+    params, state, opt_state, _ = step(params, state, opt_state,
+                                       tiny_batch(rng), jnp.int32(0))
+    np.testing.assert_array_equal(np.asarray(params["c1"]["w"]), before["c1"])
+    np.testing.assert_array_equal(np.asarray(params["c2"]["w"]), before["c2"])
+    assert not np.array_equal(np.asarray(params["c7"]["w"]), before["c7"])

@@ -55,9 +55,15 @@ class Train:
         self.category, self.anchors, self.model = build(config)
 
         records = load_cache(config, "train")
+        decoded = None
+        if config.getboolean("data", "decoded_cache", fallback=False):
+            import os
+
+            decoded = os.path.join(_config.get_cache_dir(config), "decoded", "train")
         dataset = Dataset(records,
                           canvas=config.getint("data", "canvas", fallback=672),
-                          max_boxes=config.getint("data", "max_boxes", fallback=60))
+                          max_boxes=config.getint("data", "max_boxes", fallback=60),
+                          decoded_dir=decoded)
         self.batch_size = args.batch or config.getint("data", "batch_size", fallback=16)
         self.loader = Loader(dataset, self.batch_size,
                              workers=config.getint("data", "workers", fallback=3),
@@ -70,6 +76,13 @@ class Train:
             rng_seed=config.getint("train", "seed", fallback=0),
             reinit_head=True)  # finetune from mismatched-class darknet weights
         self.optimizer = build_optimizer(config)
+        if args.freeze:
+            from ..utils.train import with_frozen
+
+            frozen = [n for pat in args.freeze.split(",") for n in self.params
+                      if n == pat or n.startswith(pat.rstrip("*"))]
+            self.optimizer = with_frozen(self.optimizer, self.params, frozen)
+            _LOG.info("frozen layers: %s", sorted(set(frozen)))
         self.opt_state = self.optimizer.init(self.params)
         self.step = int(meta.get("step", 0))
         self.seen = int(meta.get("seen", 0))
@@ -209,6 +222,9 @@ def main(argv=None):
                         help="initial weights: checkpoint .npz or darknet .weights")
     parser.add_argument("--batch", type=int, default=None)
     parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--freeze", default=None, metavar="LAYERS",
+                        help="comma-separated layer names (c1,c2,... or "
+                             "prefix*) to freeze during finetuning")
     parser.add_argument("--steps", type=int, default=None, help="hard step cap")
     parser.add_argument("--debug-nans", action="store_true",
                         help="jax_debug_nans dev flag (SURVEY.md §5 sanitizer analog)")

@@ -32,19 +32,50 @@ def _imread_rgb(path: str) -> np.ndarray:
 
 
 class Dataset:
-    """Record store over merged cached datasets (one phase)."""
+    """Record store over merged cached datasets (one phase).
+
+    ``decoded_dir`` enables the decoded-canvas cache (SURVEY.md §7 "consider
+    caching decoded tensors"): canvases are decoded once into a uint8 memmap
+    and epochs become pure memcpy — essential when host cores are scarce
+    relative to device throughput (JPEG decode is ~5 ms/image/core).
+    """
 
     def __init__(self, records: list[dict], canvas: int = 672, max_boxes: int = 60,
-                 imread=_imread_rgb):
+                 imread=_imread_rgb, decoded_dir: str | None = None):
         self.records = records
         self.canvas = canvas
         self.max_boxes = max_boxes
         self.imread = imread
+        self._mm = None
+        self._mm_hw = None
+        if decoded_dir is not None:
+            self._attach_decoded_cache(decoded_dir)
 
     def __len__(self) -> int:
         return len(self.records)
 
-    def load(self, idx: int) -> dict:
+    def _attach_decoded_cache(self, decoded_dir: str) -> None:
+        import os
+
+        os.makedirs(decoded_dir, exist_ok=True)
+        n, c = len(self.records), self.canvas
+        mm_path = os.path.join(decoded_dir, f"canvases_{n}x{c}.u8")
+        hw_path = os.path.join(decoded_dir, f"hw_{n}x{c}.npy")
+        if not (os.path.exists(mm_path) and os.path.exists(hw_path)):
+            mm = np.memmap(mm_path + ".tmp", np.uint8, "w+", shape=(n, c, c, 3))
+            hw = np.zeros((n, 2), np.float32)
+            for i in range(n):
+                canvas, size = self._decode(i)
+                mm[i] = canvas
+                hw[i] = size
+            mm.flush()
+            del mm
+            np.save(hw_path, hw)
+            os.replace(mm_path + ".tmp", mm_path)
+        self._mm = np.memmap(mm_path, np.uint8, "r", shape=(n, c, c, 3))
+        self._mm_hw = np.load(hw_path)
+
+    def _decode(self, idx: int):
         rec = self.records[idx]
         img = self.imread(rec["path"])
         h, w = img.shape[:2]
@@ -59,6 +90,15 @@ class Dataset:
         canvas = np.full((c, c, 3), GRAY, np.uint8)
         oy, ox = (c - h) // 2, (c - w) // 2
         canvas[oy:oy + h, ox:ox + w] = img
+        return canvas, np.asarray([h, w], np.float32)
+
+    def load(self, idx: int) -> dict:
+        rec = self.records[idx]
+        if self._mm is not None:
+            canvas = np.asarray(self._mm[idx])
+            h, w = self._mm_hw[idx]
+        else:
+            canvas, (h, w) = self._decode(idx)
 
         g = self.max_boxes
         n = min(len(rec["cls"]), g)

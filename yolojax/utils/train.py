@@ -12,7 +12,8 @@ from __future__ import annotations
 
 import optax
 
-__all__ = ["sgd", "adam", "step_schedule", "constant_schedule", "build_optimizer"]
+__all__ = ["sgd", "adam", "step_schedule", "constant_schedule", "build_optimizer",
+           "with_frozen"]
 
 
 def step_schedule(config):
@@ -69,6 +70,24 @@ def _decay_mask(params):
 
     return jax.tree_util.tree_map_with_path(
         lambda path, _: str(path[-1]) == "['w']", params)
+
+
+def with_frozen(optimizer: optax.GradientTransformation, params,
+                frozen_layers) -> optax.GradientTransformation:
+    """Freeze whole layers by name during finetuning (SURVEY.md §2.13:
+    "optionally freeze ... when class count differs").
+
+    ``frozen_layers`` — layer names (top-level keys of the params tree) whose
+    parameters receive zero updates; everything else trains normally.
+    """
+    frozen = set(frozen_layers)
+
+    def label(tree):
+        return {name: ("freeze" if name in frozen else "train")
+                for name in tree}
+
+    return optax.multi_transform(
+        {"train": optimizer, "freeze": optax.set_to_zero()}, label)
 
 
 def build_optimizer(config) -> optax.GradientTransformation:
