@@ -76,8 +76,9 @@ def test_nms_pallas_batched_grid(rng):
 
 
 def _dw_reference(x, w, stride):
+    # symmetric k//2 padding, matching blocks._conv (darknet/torch semantics)
     return jax.lax.conv_general_dilated(
-        x, w.reshape(3, 3, 1, -1), (stride, stride), "SAME",
+        x, w.reshape(3, 3, 1, -1), (stride, stride), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=x.shape[-1])
 

@@ -64,11 +64,11 @@ def dwconv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1,
     if w.ndim == 4:
         w = w[:, :, 0, :]
     b, h, wd, c = x.shape
-    ho = -(-h // stride)
-    wo = -(-wd // stride)
-    pad_h = max((ho - 1) * stride + 3 - h, 0)
-    pad_w = max((wo - 1) * stride + 3 - wd, 0)
-    top, left = pad_h // 2, pad_w // 2
+    # darknet/torch symmetric padding (k//2 = 1 each side), matching _conv
+    ho = (h - 1) // stride + 1
+    wo = (wd - 1) // stride + 1
+    pad_h = pad_w = 2
+    top = left = 1
 
     rows = min(row_tile, ho)
     while ho % rows:

@@ -87,9 +87,13 @@ def _conv(x, w, stride: int, groups: int, compute_dtype):
     # both operands in the compute dtype: mixed-dtype convs have no autodiff
     # transpose rule.  The TPU MXU accumulates bf16 products in f32
     # internally; downstream BN math promotes back to f32 via its f32 params.
+    # Padding is darknet/torch-style symmetric k//2 (lax "SAME" pads
+    # asymmetrically under stride 2, shifting outputs by one pixel vs the
+    # reference semantics — matters for MobileNet's strided convs).
+    pad = w.shape[0] // 2
     return jax.lax.conv_general_dilated(
         x.astype(compute_dtype), w.astype(compute_dtype),
-        window_strides=(stride, stride), padding="SAME",
+        window_strides=(stride, stride), padding=((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
     )
