@@ -29,15 +29,19 @@ __all__ = ["dwconv3x3_pallas"]
 
 
 def _dw_kernel(x_ref, w_ref, out_ref, scratch, sem, *, stride: int, rows: int,
-               cb: int):
+               cb: int, c_blocks: int):
     bi = pl.program_id(0)
     hi = pl.program_id(1)
-    ci = pl.program_id(2)
     slab_rows = rows * stride + 2
     r0 = hi * rows * stride
-    c0 = ci * cb
+    if c_blocks == 1:
+        # static channel slice: Mosaic cannot prove alignment of a dynamic
+        # lane-dim offset unless it is a multiple of 128
+        cslice = slice(None)
+    else:
+        cslice = pl.ds(pl.multiple_of(pl.program_id(2) * cb, 128), cb)
     dma = pltpu.make_async_copy(
-        x_ref.at[bi, pl.ds(r0, slab_rows), :, pl.ds(c0, cb)], scratch, sem)
+        x_ref.at[bi, pl.ds(r0, slab_rows), :, cslice], scratch, sem)
     dma.start()
     dma.wait()
 
@@ -45,7 +49,7 @@ def _dw_kernel(x_ref, w_ref, out_ref, scratch, sem, *, stride: int, rows: int,
     acc = jnp.zeros((rows, wout, cb), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            tap = w_ref[dy, dx, pl.ds(c0, cb)].astype(jnp.float32)
+            tap = w_ref[dy, dx, cslice].astype(jnp.float32)
             if stride == 1:
                 patch = scratch[dy:dy + rows, dx:dx + wout, :]
             else:
@@ -86,7 +90,8 @@ def dwconv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1,
                      (left, pad_w - left + extra_w), (0, 0)))
     wp_width = xp.shape[2]
 
-    kernel = functools.partial(_dw_kernel, stride=stride, rows=rows, cb=cb)
+    kernel = functools.partial(_dw_kernel, stride=stride, rows=rows, cb=cb,
+                               c_blocks=c // cb)
     return pl.pallas_call(
         kernel,
         grid=grid,

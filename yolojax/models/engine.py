@@ -90,7 +90,9 @@ def run_plan(plan, params, state, x, *, bn: BNConfig, train: bool, compute_dtype
         kind = op[0]
         if kind == "conv":
             d = op[1]
-            if use_dw_k and d.groups > 1 and d.ksize == 3:
+            # Pallas dwconv needs lane-aligned channels (Mosaic DMA slices
+            # must be 128-wide); the small early layers stay on XLA
+            if use_dw_k and d.groups > 1 and d.ksize == 3 and d.in_ch % 128 == 0:
                 from ..kernels.dwconv import dwconv3x3_pallas
 
                 p = params[d.name]
