@@ -108,3 +108,29 @@ def test_inference_detect_fn_shapes(rng):
     assert out.conf.shape == (2, 20, 7)
     assert out.yx_min.shape == (2, 20, 7, 2)
     assert out.keep.dtype == bool
+
+
+def test_detect_fn_host_matches_device_path(rng):
+    """Native-NMS host detect path returns the same packed results."""
+    from yolojax.native import native_nms_available
+
+    if not native_nms_available():
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+    from yolojax.models.inference import Inference
+
+    model = make(Tiny)
+    params, state = model.init(jax.random.PRNGKey(0))
+    inf = Inference(model)
+    folded = inf.fold(params, state)
+    images = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    a = inf.detect_fn(0.01, 0.45, 7)(folded, images)
+    h = inf.detect_fn_host(0.01, 0.45, 7)(folded, images)
+    np.testing.assert_array_equal(np.asarray(a.keep), np.asarray(h.keep))
+    keep = np.asarray(a.keep)
+    np.testing.assert_allclose(np.where(keep, np.asarray(a.conf), 0),
+                               np.where(keep, np.asarray(h.conf), 0), atol=1e-5)
+    np.testing.assert_allclose(np.where(keep[..., None], np.asarray(a.yx_min), 0),
+                               np.where(keep[..., None], np.asarray(h.yx_min), 0),
+                               atol=1e-5)

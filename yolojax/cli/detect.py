@@ -47,7 +47,14 @@ def detect_image(config, model, params, state, image: np.ndarray, size: int):
     topk = config.getint("detect", "topk", fallback=100)
     inference = Inference(model)
     folded = inference.fold(params, state)
-    run = inference.detect_fn(threshold, overlap, topk)
+    import jax as _jax
+
+    from ..native import native_nms_available
+
+    if _jax.default_backend() == "cpu" and native_nms_available():
+        run = inference.detect_fn_host(threshold, overlap, topk)
+    else:
+        run = inference.detect_fn(threshold, overlap, topk)
 
     canvas_size = config.getint("data", "canvas", fallback=672)
     canvas, hw = _to_canvas(image, canvas_size)

@@ -56,6 +56,35 @@ class Inference:
 
         return run
 
+    def detect_fn_host(self, threshold: float, overlap: float, topk: int):
+        """CPU-backend variant (BASELINE config 1: "CPU forward + NMS"):
+        forward+decode jitted, NMS in the native C++ library (OpenMP across
+        (image, class) problems) — faster on host than compiling the XLA
+        greedy loop, same packed PostProcessed contract."""
+        import numpy as np
+
+        from ..native import nms_native_batch
+        from ..ops.postprocess import PostProcessed
+
+        fwd = jax.jit(self.__call__)
+
+        def run(folded, images) -> PostProcessed:
+            det = jax.device_get(fwd(folded, images))
+            b, n, c = det.conf.shape
+            boxes = np.concatenate([det.yx_min, det.yx_max], -1)    # (B,N,4)
+            boxes = np.repeat(boxes[:, None], c, axis=1).reshape(b * c, n, 4)
+            scores = np.moveaxis(det.conf, -1, 1).reshape(b * c, n)
+            idx, conf, count = nms_native_batch(boxes, scores, threshold,
+                                                overlap, topk)
+            idx = idx.reshape(b, c, topk)
+            take = lambda v: np.take_along_axis(
+                np.repeat(v[:, None], c, axis=1), idx[..., None], axis=2)
+            keep = np.arange(topk) < count.reshape(b, c)[..., None]
+            return PostProcessed(take(det.yx_min), take(det.yx_max),
+                                 conf.reshape(b, c, topk), keep)
+
+        return run
+
     def train_forward(self, params, state, images):
         """Unfolded forward for the training loss (returns raw + new state)."""
         return self.model.apply(params, state, images, train=True)
