@@ -134,3 +134,21 @@ def test_detect_fn_host_matches_device_path(rng):
     np.testing.assert_allclose(np.where(keep[..., None], np.asarray(a.yx_min), 0),
                                np.where(keep[..., None], np.asarray(h.yx_min), 0),
                                atol=1e-5)
+
+
+def test_detect_fn_mesh_matches_single(rng):
+    """Mesh-sharded batched inference equals the single-device program."""
+    from yolojax.models.inference import Inference
+    from yolojax.parallel.mesh import make_mesh
+
+    model = make(Tiny)
+    params, state = model.init(jax.random.PRNGKey(0))
+    inf = Inference(model)
+    folded = inf.fold(params, state)
+    images = jnp.asarray(rng.uniform(0, 1, (8, 64, 64, 3)).astype(np.float32))
+    a = inf.detect_fn(0.01, 0.45, 7)(folded, images)
+    m = inf.detect_fn(0.01, 0.45, 7, mesh=make_mesh(8))(folded, images)
+    np.testing.assert_array_equal(np.asarray(a.keep), np.asarray(m.keep))
+    keep = np.asarray(a.keep)
+    np.testing.assert_allclose(np.where(keep, np.asarray(a.conf), 0),
+                               np.where(keep, np.asarray(m.conf), 0), atol=1e-5)

@@ -40,9 +40,13 @@ def run_eval(config, model, params, state, records, size: int, batch_size: int,
     iou = config.getfloat("eval", "iou", fallback=0.5)
     use07 = config.getboolean("eval", "metric07", fallback=True)
 
+    from ..parallel.mesh import make_mesh_for_batch
+
     inference = Inference(model)
     folded = inference.fold(params, state)
-    detect = inference.detect_fn(threshold, overlap, topk)
+    mesh = make_mesh_for_batch(batch_size)
+    detect = inference.detect_fn(threshold, overlap, topk,
+                                 mesh=mesh if mesh.size > 1 else None)
 
     canvas = config.getint("data", "canvas", fallback=672)
     max_boxes = config.getint("data", "max_boxes", fallback=60)

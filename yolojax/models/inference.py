@@ -35,17 +35,19 @@ class Inference:
         raw = self.model.apply_folded(folded, images)
         return decode(raw, self.anchors)
 
-    def detect_fn(self, threshold: float, overlap: float, topk: int):
+    def detect_fn(self, threshold: float, overlap: float, topk: int, mesh=None):
         """Build the fully-fused jitted (folded, images) → PostProcessed fn.
 
         Uses the Pallas NMS kernel when ``[model] pallas`` selects it and the
-        backend is TPU; the XLA while-loop NMS otherwise.
+        backend is TPU; the XLA while-loop NMS otherwise.  With ``mesh``, the
+        batch shards across the data axis (params replicated) — multi-chip
+        batched inference, the eval analog of the sharded train step
+        (BASELINE config 2 at scale).
         """
         from ..models import pallas_active
 
         use_pallas = pallas_active("nms", self.model.pallas)
 
-        @jax.jit
         def run(folded, images) -> PostProcessed:
             det = self(folded, images)
             if use_pallas:
@@ -54,7 +56,13 @@ class Inference:
                 return postprocess_pallas(det, threshold, overlap, topk)
             return postprocess(det, threshold, overlap, topk)
 
-        return run
+        if mesh is None:
+            return jax.jit(run)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        return jax.jit(run, in_shardings=(repl, data), out_shardings=repl)
 
     def detect_fn_host(self, threshold: float, overlap: float, topk: int):
         """CPU-backend variant (BASELINE config 1: "CPU forward + NMS"):
