@@ -56,7 +56,15 @@ class _PlanModel(ModelBase):
     def fold(self, params, state):
         import jax
 
-        return jax.jit(lambda p, s: fold_plan(self.plan, p, s, self.bn.eps))(params, state)
+        def _fold(p, s):
+            folded = fold_plan(self.plan, p, s, self.bn.eps)
+            # weights stored in the compute dtype: halves the per-execution
+            # HBM weight read for bf16 inference (biases stay f32 — they add
+            # into the f32-promoted epilogue)
+            return {name: {"w": lp["w"].astype(self.dtype), "b": lp["b"]}
+                    for name, lp in folded.items()}
+
+        return jax.jit(_fold)(params, state)
 
     def apply_folded(self, folded, images):
         raw, _ = run_plan(self.plan, folded, {}, images,
