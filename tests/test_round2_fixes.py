@@ -1,0 +1,114 @@
+"""Round-2 fidelity/robustness fixes (VERDICT.md missing #4-6, ADVICE.md).
+
+Covers: ``[batch_norm] gamma/beta`` toggles (SURVEY.md §2.1), loader worker
+exception propagation, checkpoint opt-state probing for resume from converted
+weights, and the adamw decay mask.
+"""
+
+import configparser
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolojax.models.blocks import BNConfig, conv_apply, conv_init, fold_bn
+from yolojax.utils import checkpoint as ckpt
+
+
+@pytest.fixture
+def block(rng):
+    params, state = conv_init(jax.random.PRNGKey(0), 3, 8, 3, use_bn=True)
+    params["gamma"] = params["gamma"] * 1.4 + 0.2
+    params["beta"] = params["beta"] + 0.3
+    state["mean"] = jnp.asarray(rng.normal(0, 0.2, (8,)), jnp.float32)
+    state["var"] = jnp.asarray(rng.uniform(0.5, 1.5, (8,)), jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 8, 8, 3)), jnp.float32)
+    return params, state, x
+
+
+def _apply(params, state, x, bn):
+    y, _ = conv_apply(params, state, x, bn=bn, compute_dtype=jnp.float32)
+    return np.asarray(y)
+
+
+def test_bn_gamma_toggle_uses_unit_scale(block):
+    params, state, x = block
+    off = _apply(params, state, x, BNConfig(gamma=False))
+    unit = dict(params, gamma=jnp.ones_like(params["gamma"]))
+    np.testing.assert_allclose(off, _apply(unit, state, x, BNConfig()), rtol=1e-6)
+    assert not np.allclose(off, _apply(params, state, x, BNConfig()))
+
+
+def test_bn_beta_toggle_uses_zero_shift(block):
+    params, state, x = block
+    off = _apply(params, state, x, BNConfig(beta=False))
+    zero = dict(params, beta=jnp.zeros_like(params["beta"]))
+    np.testing.assert_allclose(off, _apply(zero, state, x, BNConfig()), rtol=1e-6)
+
+
+@pytest.mark.parametrize("bn", [BNConfig(gamma=False), BNConfig(beta=False),
+                                BNConfig(gamma=False, beta=False)])
+def test_fold_bn_honors_toggles(block, bn):
+    params, state, x = block
+    eval_fwd = _apply(params, state, x, bn)
+    folded = fold_bn(params, state, bn)
+    fold_fwd = _apply(folded, {}, x, bn)
+    np.testing.assert_allclose(eval_fwd, fold_fwd, rtol=1e-4, atol=1e-5)
+
+
+def test_bn_config_reads_gamma_beta_keys():
+    config = configparser.ConfigParser()
+    config.add_section("batch_norm")
+    config.set("batch_norm", "gamma", "0")
+    config.set("batch_norm", "beta", "1")
+    bn = BNConfig.from_config(config)
+    assert bn.gamma is False and bn.beta is True and bn.enable is True
+
+
+def test_loader_propagates_worker_exception():
+    from yolojax.data.loader import Loader
+
+    class Broken:
+        def __len__(self):
+            return 4
+
+        def load(self, idx):
+            raise OSError(f"unreadable record {idx}")
+
+    loader = Loader(Broken(), batch_size=2, workers=2)
+    with pytest.raises(OSError, match="unreadable record"):
+        list(loader.epoch())
+
+
+def test_checkpoint_contains_probes_tree_names(tmp_path):
+    path = str(tmp_path / "0.npz")
+    ckpt.save(path, {"params": {"w": np.ones(3)}}, {"step": 0})
+    assert ckpt.contains(path, "params")
+    assert not ckpt.contains(path, "opt")
+
+
+def test_adamw_masks_decay_to_conv_kernels_only():
+    from yolojax.utils.train import adam
+
+    config = configparser.ConfigParser()
+    config.add_section("train")
+    config.set("train", "optimizer", "yolojax.utils.train.adam")
+    config.set("train", "learning_rate", "0.0")  # isolate the decay term
+    config.set("train", "weight_decay", "0.1")
+    config.set("train", "scheduler", "yolojax.utils.train.constant_schedule")
+    opt = adam(config)
+    params = {"c1": {"w": jnp.ones((3, 3, 3, 8)), "gamma": jnp.ones(8),
+                     "beta": jnp.ones(8)}}
+    opt_state = opt.init(params)
+    grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    updates, _ = opt.update(grads, opt_state, params)
+    # lr=0 ⇒ adamw's update is -lr*(m̂/(√v̂+ε) + wd*p) = 0 everywhere; instead
+    # check the mask by asserting non-kernel leaves NEVER decay at lr>0
+    config.set("train", "learning_rate", "1.0")
+    opt = adam(config)
+    opt_state = opt.init(params)
+    updates, _ = opt.update(grads, opt_state, params)
+    assert float(jnp.abs(updates["c1"]["gamma"]).max()) == 0.0
+    assert float(jnp.abs(updates["c1"]["beta"]).max()) == 0.0
+    assert float(jnp.abs(updates["c1"]["w"]).max()) > 0.0

@@ -58,12 +58,20 @@ def run_eval(config, model, params, state, records, size: int, batch_size: int,
     resize = resize_from_config(config)
 
     for batch in loader.epoch():
+        n = len(batch["hw"])
+        if n < batch_size:
+            # pad the final partial batch up to batch_size by repeating the
+            # last row: keeps the mesh-sharded detect shape-stable (no odd
+            # final-shape recompile, no sharding-divisibility error); padded
+            # rows are simply not read back
+            batch = {k: np.concatenate([v, np.repeat(v[-1:], batch_size - n, axis=0)])
+                     for k, v in batch.items()}
         images, scale, pad = resize(batch["canvas"], batch["hw"], size)
         out = detect(folded, images)
         out = jax.device_get(out)
         scale, pad = np.asarray(scale), np.asarray(pad)
-        meter.mark(len(batch["hw"]))
-        for b in range(len(batch["hw"])):
+        meter.mark(n)
+        for b in range(n):
             idx = int(batch["index"][b])
             recorder.add_ground_truth(idx, batch["yx_min"][b][batch["valid"][b]],
                                       batch["yx_max"][b][batch["valid"][b]],
@@ -99,7 +107,7 @@ def main(argv=None):
     config = setup(args)
 
     category, anchors, model = build(config)
-    params, state, _ = load_weights_auto(config, model, args.file, resume=args.file is None)
+    params, state, meta = load_weights_auto(config, model, args.file, resume=args.file is None)
     phase = config.get("eval", "phase", fallback="test")
     records = load_cache(config, phase)
     size = args.size or int(config.get("data", "sizes").split(",")[0])
@@ -123,6 +131,15 @@ def main(argv=None):
                         "yx_min": [round(float(v), 5) for v in dmin],
                         "yx_max": [round(float(v), 5) for v in dmax]}) + "\n")
         _LOG.info("wrote detections to %s", args.results)
+
+    # TensorBoard mAP scalar at the checkpoint's step (reference writes an
+    # optional eval summary, SURVEY.md §2.14); also mirrored to scalars.jsonl
+    from ..utils.metrics import Summary
+
+    summary = Summary(_config.get_model_dir(config), config)
+    summary.scalar(int(meta.get("step", 0) or 0),
+                   **{"eval/mAP": result["map"], "eval/size": size})
+    summary.close()
 
     db = _config.get_eval_db(config)
     os.makedirs(os.path.dirname(db), exist_ok=True)

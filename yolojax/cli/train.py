@@ -31,7 +31,7 @@ from ..data.loader import Loader
 from ..data.transform import TrainAugment
 from ..ops.loss import LossConfig
 from ..parallel.mesh import (loss_weights_from_config, make_mesh_for_batch,
-                             make_train_step)
+                             make_train_step, shard_host_batch)
 from ..utils import checkpoint as ckpt
 from ..utils.metrics import Meter, Summary
 from ..utils.train import build_optimizer
@@ -88,8 +88,18 @@ class Train:
         self.seen = int(meta.get("seen", 0))
         if args.resume and meta.get("step") is not None:
             path = ckpt.latest(_config.get_model_dir(config))
-            trees, _ = ckpt.load(path, {"opt": self.opt_state})
-            self.opt_state = trees["opt"]
+            if ckpt.contains(path, "opt"):
+                try:
+                    trees, _ = ckpt.load(path, {"opt": self.opt_state})
+                    self.opt_state = trees["opt"]
+                except (KeyError, ValueError) as e:
+                    # e.g. --freeze differs from the saving run (multi_transform
+                    # reshapes the opt pytree) — train on with a fresh opt state
+                    _LOG.warning("checkpoint opt state incompatible (%s); "
+                                 "reinitializing optimizer", e)
+            else:
+                # darknet-converted 0.npz carries only params/state
+                _LOG.info("checkpoint has no optimizer state; starting fresh")
 
         self.mesh = make_mesh_for_batch(self.batch_size)
         loss_cfg = LossConfig(
@@ -162,8 +172,9 @@ class Train:
                 if self.step % self.interval == 0:
                     size = int(self.rng.choice(self.sizes))
                 key = jax.random.fold_in(self.key, self.step)
-                dev_batch = {k: batch[k] for k in
-                             ("canvas", "hw", "yx_min", "yx_max", "cls", "valid")}
+                dev_batch = shard_host_batch(self.mesh, {
+                    k: batch[k] for k in
+                    ("canvas", "hw", "yx_min", "yx_max", "cls", "valid")})
                 self.params, self.state, self.opt_state, metrics = self.train_step(
                     self.params, self.state, self.opt_state, dev_batch,
                     jnp.int32(min(self.seen, 2**31 - 1)), key, size)
@@ -180,7 +191,7 @@ class Train:
                         self.profile_dir = None
 
                 if self.summary.due("scalar", self.step):
-                    vals = {k: float(v) for k, v in metrics.items()}
+                    vals = {k: float(v) for k, v in metrics.items() if k != "grads"}
                     jax.block_until_ready(self.params)
                     self.meter.mark(self.batch_size * self.summary.cadence["scalar"])
                     vals["lr"] = float(self.schedule(self.step))
@@ -191,6 +202,7 @@ class Train:
                               self.step, size, vals["total"], self.meter.rate)
                 if self.summary.due("histogram", self.step):
                     self.summary.histogram(self.step, self.params, "params/")
+                    self.summary.histogram(self.step, metrics["grads"], "grads/")
                 if self.summary.due("image", self.step):
                     # rerun the (cheap) standalone augment for visualization
                     images, bmin, bmax, bvalid = self.augment(

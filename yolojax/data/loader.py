@@ -70,8 +70,9 @@ class Loader:
                     for idxs in self._batches(self._epoch_order()):
                         items = list(pool.map(self.dataset.load, idxs))
                         q.put(collate(items))
-            finally:
                 q.put(stop)
+            except BaseException as exc:  # surface worker failures to the consumer
+                q.put(exc)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -79,6 +80,10 @@ class Loader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                # re-raise in the consuming thread: a bad record must fail the
+                # epoch loudly, not silently truncate eval / busy-loop train
+                raise item
             yield item
 
     def __iter__(self):

@@ -41,14 +41,24 @@ def leaky_relu(x, slope=0.1):
 
 
 class BNConfig:
-    """Batch-norm hyperparameters from the ``[batch_norm]`` section."""
+    """Batch-norm hyperparameters from the ``[batch_norm]`` section.
 
-    __slots__ = ("enable", "eps", "momentum")
+    ``gamma``/``beta`` mirror the reference's per-affine-parameter toggles
+    (SURVEY.md §2.1 ``[batch_norm]`` enable/gamma/beta): when off, the
+    normalization uses a fixed scale 1 / shift 0 instead of the learnable
+    parameter (the params stay in the pytree for checkpoint-shape stability;
+    unused leaves receive zero gradients).
+    """
 
-    def __init__(self, enable: bool = True, eps: float = 1e-5, momentum: float = 0.01):
+    __slots__ = ("enable", "eps", "momentum", "gamma", "beta")
+
+    def __init__(self, enable: bool = True, eps: float = 1e-5, momentum: float = 0.01,
+                 gamma: bool = True, beta: bool = True):
         self.enable = enable
         self.eps = eps
         self.momentum = momentum
+        self.gamma = gamma
+        self.beta = beta
 
     @classmethod
     def from_config(cls, config):
@@ -58,6 +68,8 @@ class BNConfig:
             enable=config.getboolean("batch_norm", "enable", fallback=True),
             eps=config.getfloat("batch_norm", "eps", fallback=1e-5),
             momentum=config.getfloat("batch_norm", "momentum", fallback=0.01),
+            gamma=config.getboolean("batch_norm", "gamma", fallback=True),
+            beta=config.getboolean("batch_norm", "beta", fallback=True),
         )
 
 
@@ -122,8 +134,10 @@ def conv_apply(params: Params, state: Params, x, *, stride: int = 1, groups: int
             }
         else:
             mean, var = state["mean"], state["var"]
-        inv = jax.lax.rsqrt(var + bn.eps) * params["gamma"]
-        y = (y - mean) * inv + params["beta"]
+        inv = jax.lax.rsqrt(var + bn.eps)
+        if bn.gamma:
+            inv = inv * params["gamma"]
+        y = (y - mean) * inv + (params["beta"] if bn.beta else 0.0)
     elif "b" in params:
         y = y + params["b"]
     if act:
@@ -131,18 +145,24 @@ def conv_apply(params: Params, state: Params, x, *, stride: int = 1, groups: int
     return y.astype(compute_dtype), new_state
 
 
-def fold_bn(params: Params, state: Params, eps: float = 1e-5) -> Params:
+def fold_bn(params: Params, state: Params, bn: BNConfig | None = None) -> Params:
     """Fold BN affine+stats into the conv → inference-only {w, b} params.
 
     w'[..., o] = w[..., o] * γ_o / √(σ²_o + ε);  b' = β − γ·μ/√(σ²+ε).
     After folding, the block is conv+bias+activation — one fused XLA op.
+    Honors the ``[batch_norm]`` gamma/beta toggles (γ→1, β→0 when disabled).
     """
-    if "gamma" not in params:
-        return dict(params)
-    scale = params["gamma"] / jnp.sqrt(state["var"] + eps)
+    bn = bn or BNConfig()
+    if "gamma" not in params or not bn.enable:
+        out = {k: v for k, v in params.items() if k in ("w", "b")}
+        out.setdefault("b", jnp.zeros((params["w"].shape[-1],), jnp.float32))
+        return out
+    gamma = params["gamma"] if bn.gamma else 1.0
+    beta = params["beta"] if bn.beta else 0.0
+    scale = gamma / jnp.sqrt(state["var"] + bn.eps)  # (out_ch,) — var is per-channel
     return {
         "w": params["w"] * scale[None, None, None, :],
-        "b": params["beta"] - state["mean"] * scale,
+        "b": beta - state["mean"] * scale,
     }
 
 

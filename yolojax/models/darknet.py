@@ -57,7 +57,7 @@ class _PlanModel(ModelBase):
         import jax
 
         def _fold(p, s):
-            folded = fold_plan(self.plan, p, s, self.bn.eps)
+            folded = fold_plan(self.plan, p, s, self.bn)
             # weights stored in the compute dtype: halves the per-execution
             # HBM weight read for bf16 inference (biases stay f32 — they add
             # into the f32-promoted epilogue)

@@ -131,8 +131,10 @@ def _post_conv(params, state, y, *, bn, act, compute_dtype):
     import jax.numpy as jnp
 
     if "gamma" in params and bn.enable:
-        inv = jax.lax.rsqrt(state["var"] + bn.eps) * params["gamma"]
-        y = (y - state["mean"]) * inv + params["beta"]
+        inv = jax.lax.rsqrt(state["var"] + bn.eps)
+        if bn.gamma:
+            inv = inv * params["gamma"]
+        y = (y - state["mean"]) * inv + (params["beta"] if bn.beta else 0.0)
     elif "b" in params:
         y = y + params["b"]
     if act:
@@ -140,7 +142,7 @@ def _post_conv(params, state, y, *, bn, act, compute_dtype):
     return y.astype(compute_dtype), {}
 
 
-def fold_plan(plan, params, state, eps: float):
+def fold_plan(plan, params, state, bn: BNConfig):
     """Fold BN into conv weights for every block → inference-only params."""
-    return {d.name: fold_bn(params[d.name], state.get(d.name, {}), eps)
+    return {d.name: fold_bn(params[d.name], state.get(d.name, {}), bn)
             for d in plan_convs(plan)}

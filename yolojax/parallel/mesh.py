@@ -30,7 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.loss import LossConfig, region_loss
 
 __all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "make_train_step",
-           "loss_weights_from_config"]
+           "loss_weights_from_config", "shard_host_batch"]
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
@@ -42,11 +42,34 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
 
 def make_mesh_for_batch(batch_size: int, axis: str = "data") -> Mesh:
     """Largest data mesh the batch shards evenly across (GSPMD requires the
-    batch axis divisible by the mesh axis)."""
+    batch axis divisible by the mesh axis).
+
+    ``batch_size`` is per process; multi-host, the global batch is
+    ``batch_size * process_count`` over the full pod mesh (each process
+    contributes its local shard via :func:`shard_host_batch`).
+    """
     n = len(jax.devices())
-    while n > 1 and batch_size % n:
+    global_batch = batch_size * jax.process_count()
+    while n > 1 and (global_batch % n or n % jax.process_count()):
         n -= 1
     return make_mesh(n, axis)
+
+
+def shard_host_batch(mesh: Mesh, batch: dict):
+    """Assemble per-process numpy batches into global device arrays.
+
+    Single-process (the common case, incl. the 8-device CPU dryrun) this is a
+    no-op — jit consumes host numpy directly against the local mesh.  On a
+    multi-host pod, each process's loader yields a *disjoint* host-local batch
+    (Loader shard=(process_index, process_count)); jit over a multi-process
+    mesh cannot ingest host-local numpy, so build the global array explicitly
+    (global batch axis = batch_size * process_count) with the batch sharding.
+    """
+    if jax.process_count() == 1:
+        return batch
+    data = batch_sharding(mesh)
+    return {k: jax.make_array_from_process_local_data(data, np.asarray(v))
+            for k, v in batch.items()}
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -99,8 +122,11 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
         (total, (comps, new_state)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
+        # grads ride along for the [summary] histogram cadence (SURVEY.md
+        # §2.13 "histograms of params/grads"); they are already materialized
+        # by value_and_grad, and the host only fetches them when due
         metrics = dict(comps, total=total,
-                       grad_norm=optax.global_norm(grads))
+                       grad_norm=optax.global_norm(grads), grads=grads)
         return new_params, new_state, new_opt_state, metrics
 
     if augment is None:

@@ -65,6 +65,14 @@ def load(path: str, templates: dict) -> tuple[dict, dict]:
     return trees, meta
 
 
+def contains(path: str, name: str) -> bool:
+    """Whether a checkpoint holds any keys for the named pytree (e.g. a
+    darknet-converted ``0.npz`` has params/state but no ``opt:*``)."""
+    with np.load(path) as z:
+        prefix = name + ":"
+        return any(k.startswith(prefix) for k in z.files)
+
+
 def latest(model_dir: str) -> str | None:
     """Newest step checkpoint in a model dir (``<step>.npz``)."""
     paths = glob.glob(os.path.join(model_dir, "*.npz"))

@@ -60,7 +60,7 @@ class Summary:
         import jax
 
         for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-            name = prefix + "".join(str(p) for p in path)
+            name = prefix + "/".join(str(getattr(p, "key", p)) for p in path)
             self._tb.add_histogram(name, np.asarray(leaf).ravel(), step)
 
     def image(self, step: int, name: str, image: np.ndarray):

@@ -59,7 +59,8 @@ def adam(config) -> optax.GradientTransformation:
         parts.append(optax.clip_by_global_norm(clip))
     parts.append(optax.adamw(
         _schedule(config),
-        weight_decay=config.getfloat("train", "weight_decay", fallback=0.0)))
+        weight_decay=config.getfloat("train", "weight_decay", fallback=0.0),
+        mask=_decay_mask))  # decay conv kernels only, like the sgd factory
     return optax.chain(*parts)
 
 
