@@ -10,7 +10,7 @@ import pytest
 from jax.experimental.pallas import tpu as pltpu
 
 from yolojax.ops.nms import nms_select
-from yolojax.ops.reorg import reorg
+from yolojax.ops.reorg import reorg_s2d
 
 
 @pytest.fixture(autouse=True)
@@ -24,7 +24,7 @@ def test_reorg_pallas_matches_reference(rng):
 
     x = rng.standard_normal((2, 8, 8, 16)).astype(np.float32)
     np.testing.assert_array_equal(np.asarray(reorg_pallas(jnp.asarray(x), 2)),
-                                  np.asarray(reorg(x, 2)))
+                                  np.asarray(reorg_s2d(x, 2)))
 
 
 def test_reorg_pallas_yolo_shape(rng):
@@ -33,7 +33,7 @@ def test_reorg_pallas_yolo_shape(rng):
     x = rng.standard_normal((1, 26, 26, 64)).astype(np.float32)
     got = np.asarray(reorg_pallas(jnp.asarray(x), 2))
     assert got.shape == (1, 13, 13, 256)
-    np.testing.assert_array_equal(got, np.asarray(reorg(x, 2)))
+    np.testing.assert_array_equal(got, np.asarray(reorg_s2d(x, 2)))
 
 
 def test_nms_pallas_matches_reference(rng):

@@ -135,6 +135,87 @@ def test_loss_matches_sequential_oracle(rng, rescore, boost, seen):
         np.testing.assert_allclose(got[k], want[k], rtol=2e-4, err_msg=k)
 
 
+def assert_matches_oracle(raw, anchors, gt_min, gt_max, gt_cls, gt_valid, seen, cfg,
+                          rtol=2e-4):
+    got = {k: float(v) for k, v in region_loss(
+        raw, anchors, gt_min, gt_max, gt_cls, gt_valid, seen, cfg).items()}
+    want = {}
+    for bi in range(raw.shape[0]):
+        o = oracle_loss(raw[bi], anchors, gt_min[bi], gt_max[bi],
+                        gt_cls[bi], gt_valid[bi], seen, cfg)
+        for k, v in o.items():
+            want[k] = want.get(k, 0.0) + v / raw.shape[0]
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=rtol, atol=1e-7, err_msg=k)
+
+
+def test_loss_oracle_cell_boundary_centers(rng):
+    """gt centers landing exactly on cell boundaries (floor ties) and at the
+    far image edge (clip to the last cell)."""
+    h, w, a, c = 3, 4, 2, 3
+    anchors = rng.uniform(0.5, 3.0, (a, 2)).astype(np.float32)
+    raw = rng.standard_normal((1, h, w, a * (5 + c))).astype(np.float32)
+    # centers: exactly on the (1/h, 2/w) cell corner; exactly at 1.0 (edge)
+    centers = np.asarray([[1 / 3, 2 / 4], [1.0, 1.0], [0.0, 0.0]], np.float32)
+    half = np.asarray([[0.1, 0.1], [0.05, 0.08], [0.06, 0.04]], np.float32)
+    gt_min = (centers - half)[None]
+    gt_max = (centers + half)[None]
+    gt_cls = np.asarray([[0, 1, 2]], np.int32)
+    gt_valid = np.ones((1, 3), bool)
+    assert_matches_oracle(raw, anchors, gt_min, gt_max, gt_cls, gt_valid,
+                          0, LossConfig())
+
+
+def test_loss_oracle_oversize_and_degenerate_gt(rng):
+    """gt spanning the whole image after clip, plus a zero-area gt."""
+    h, w, a, c = 3, 4, 2, 3
+    anchors = rng.uniform(0.5, 3.0, (a, 2)).astype(np.float32)
+    raw = rng.standard_normal((1, h, w, a * (5 + c))).astype(np.float32)
+    gt_min = np.asarray([[[0.0, 0.0], [0.4, 0.6]]], np.float32)
+    gt_max = np.asarray([[[1.0, 1.0], [0.4, 0.6]]], np.float32)  # full image; point
+    gt_cls = np.asarray([[1, 0]], np.int32)
+    gt_valid = np.ones((1, 2), bool)
+    assert_matches_oracle(raw, anchors, gt_min, gt_max, gt_cls, gt_valid,
+                          10**9, LossConfig())
+
+
+def test_loss_oracle_all_invalid_batch(rng):
+    """No valid gts: only noobject (all anchors) and warmup prior remain."""
+    raw, anchors, gt_min, gt_max, gt_cls, _ = make_case(rng, b=2)
+    gt_valid = np.zeros(gt_cls.shape, bool)
+    cfg = LossConfig()
+    assert_matches_oracle(raw, anchors, gt_min, gt_max, gt_cls, gt_valid, 0, cfg)
+    got = region_loss(raw, anchors, gt_min, gt_max, gt_cls, gt_valid, 0, cfg)
+    assert float(got["coord"]) == 0 and float(got["cls"]) == 0
+    n = raw.shape[1] * raw.shape[2] * anchors.shape[0]
+    x = raw.reshape(raw.shape[0], n, -1)
+    sig_o = 1 / (1 + np.exp(-x[..., 4]))
+    np.testing.assert_allclose(float(got["noobject"]),
+                               (sig_o ** 2).sum(1).mean(), rtol=1e-5)
+
+
+def test_loss_oracle_single_class(rng):
+    """C=1: softmax over one logit is constant 1 — cls loss still defined."""
+    raw, anchors, gt_min, gt_max, gt_cls, gt_valid = make_case(rng, c=1)
+    assert_matches_oracle(raw, anchors, gt_min, gt_max, gt_cls, gt_valid,
+                          0, LossConfig())
+
+
+def test_loss_oracle_real_geometry(rng):
+    """The actual 13×13×5-anchor×20-class geometry (slow oracle, one case)."""
+    anchors = np.asarray([[1.73, 1.32], [4.0, 3.19], [8.1, 5.06],
+                          [4.84, 9.47], [10.0, 11.2]], np.float32)
+    raw = rng.standard_normal((1, 13, 13, 5 * 25)).astype(np.float32)
+    center = rng.uniform(0.05, 0.95, (1, 8, 2)).astype(np.float32)
+    half = rng.uniform(0.02, 0.4, (1, 8, 2)).astype(np.float32)
+    gt_min = np.clip(center - half, 0, 1)
+    gt_max = np.clip(center + half, 0, 1)
+    gt_cls = rng.integers(0, 20, (1, 8)).astype(np.int32)
+    gt_valid = rng.uniform(0, 1, (1, 8)) > 0.2
+    assert_matches_oracle(raw, anchors, gt_min, gt_max, gt_cls, gt_valid,
+                          0, LossConfig(), rtol=5e-4)
+
+
 def test_loss_collision_last_wins(rng):
     # two gts forced into the same cell+anchor → only the later one counts
     cfg = LossConfig()

@@ -23,12 +23,24 @@ ANCHORS = np.asarray([[1.0, 1.0], [2.5, 2.5]], np.float32)
 
 
 def torch_reorg(x, s=2):
-    """Darknet reorg in torch (NCHW), derived independently from the
+    """Clean s2d reorg in torch (NCHW), derived independently from the
     offset-major contract: out[b, (p*s+q)*C + c] = in[b, c, h*s+p, w*s+q]."""
     b, c, h, w = x.shape
     x = x.view(b, c, h // s, s, w // s, s)          # (b, c, hi, p, wi, q)
     x = x.permute(0, 3, 5, 1, 2, 4).contiguous()    # (b, p, q, c, hi, wi)
     return x.view(b, s * s * c, h // s, w // s)
+
+
+def torch_reorg_darknet(x, s=2):
+    """Darknet's true reorg_cpu semantics in torch: reinterpret the (C,H,W)
+    buffer as (C/s², H·s, W·s), offset-major s2d it back to (C,H,W), then
+    reinterpret as (C·s², H/s, W/s).  Pinned to the literal C-loop oracle in
+    test_reorg_oracle.py (through ops.reorg.reorg_darknet)."""
+    b, c, h, w = x.shape
+    oc = c // (s * s)
+    t = x.contiguous().view(b, oc, h, s, w, s)      # (b, c2, j, p, i, q)
+    t = t.permute(0, 3, 5, 1, 2, 4).contiguous()    # (b, p, q, c2, j, i)
+    return t.view(b, c * s * s, h // s, w // s)
 
 
 def run_torch_plan(model, params, state, x_nchw):
@@ -67,7 +79,8 @@ def run_torch_plan(model, params, state, x_nchw):
         elif kind == "load":
             x = slots[op[1]]
         elif kind == "reorg":
-            x = torch_reorg(x, op[1])
+            fn = torch_reorg_darknet if model.reorg_order == "darknet" else torch_reorg
+            x = fn(x, op[1])
         elif kind == "concat":
             x = torch.cat([x, slots[op[1]]], dim=1)
     return x
@@ -93,12 +106,16 @@ def test_forward_matches_torch(cls, rng):
     np.testing.assert_allclose(np.asarray(ours), theirs, rtol=2e-3, atol=2e-3)
 
 
-def test_reorg_matches_torch_formulation(rng):
+@pytest.mark.parametrize("order,torch_fn,ch", [
+    ("s2d", torch_reorg, 6),
+    ("darknet", torch_reorg_darknet, 8),
+])
+def test_reorg_matches_torch_formulation(rng, order, torch_fn, ch):
     from yolojax.ops.reorg import reorg
 
-    x = rng.standard_normal((2, 8, 8, 6)).astype(np.float32)
-    ours = np.asarray(reorg(x, 2))
+    x = rng.standard_normal((2, 8, 8, ch)).astype(np.float32)
+    ours = np.asarray(reorg(x, 2, order))
     with torch.no_grad():
-        theirs = torch_reorg(torch.from_numpy(x.transpose(0, 3, 1, 2).copy()), 2)
+        theirs = torch_fn(torch.from_numpy(x.transpose(0, 3, 1, 2).copy()), 2)
     theirs = theirs.numpy().transpose(0, 2, 3, 1)
     np.testing.assert_array_equal(ours, theirs)

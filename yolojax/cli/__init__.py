@@ -26,4 +26,4 @@ def setup(args):
     logging.basicConfig(
         level=getattr(logging, str(args.logging).upper(), logging.INFO),
         format="%(asctime)s %(levelname)s %(name)s: %(message)s")
-    return load_config(args.config, args.modify)
+    return load_config(args.config, args.modify or ())

@@ -166,8 +166,11 @@ def add_config_arguments(parser) -> None:
         "-c", "--config", nargs="+", default=[default_config_path()],
         help="config ini files, later files override earlier ones",
     )
+    # action="extend": repeated -m flags accumulate (the plain store action
+    # would silently keep only the LAST -m group).  default=None, not [] —
+    # extend mutates the default object in place across invocations.
     parser.add_argument(
-        "-m", "--modify", nargs="+", default=[],
-        help="ad-hoc config modifications, section/key=value",
+        "-m", "--modify", nargs="+", action="extend", default=None,
+        help="ad-hoc config modifications, section/key=value (repeatable)",
     )
     parser.add_argument("--logging", default="INFO", help="logging level")

@@ -1,8 +1,11 @@
 """Pallas reorg (darknet space-to-depth) kernel (BASELINE north_star: "the
 reorg/passthrough layer as a Pallas layout kernel").
 
-Contract identical to ops/reorg.py: NHWC (B,H,W,C) → (B,H/s,W/s,s²C) with
-output channel ``(p*s + q)*C + c``.  Grid: one program per (batch, output
+Contract identical to ops/reorg.py ``reorg_s2d``: NHWC (B,H,W,C) →
+(B,H/s,W/s,s²C) with output channel ``(p*s + q)*C + c``.  (The engine only
+selects this kernel when ``[model] reorg = s2d``; the default ``darknet``
+order — see ops/reorg.py — stays on the XLA reshape/transpose chain.)
+Grid: one program per (batch, output
 row); each program reads the s source rows and emits one packed output row —
 a pure VMEM layout shuffle with no compute, so HBM traffic is the exact
 tensor size in and out.

@@ -96,14 +96,20 @@ class ModelBase:
     # Pallas kernel selection (``[model] pallas``): subset of
     # {"nms", "reorg", "dwconv"}; see yolojax.kernels
     pallas: frozenset = frozenset()
+    # ``[model] reorg``: "darknet" (true reorg_cpu semantics — required for
+    # darknet .weights import parity) or "s2d" (the clean space-to-depth most
+    # torch ports use); see ops/reorg.py
+    reorg_order: str = "darknet"
 
     @classmethod
     def from_config(cls, config, anchors, num_classes, **kw):
         dtype = jnp.dtype(config.get("model", "dtype", fallback="bfloat16")) if config else jnp.bfloat16
         pallas = frozenset(config.get("model", "pallas", fallback="").split()) if config else frozenset()
+        reorg_order = config.get("model", "reorg", fallback="darknet") if config else "darknet"
         return cls(anchors=np.asarray(anchors, np.float32), num_classes=num_classes,
                    bn=BNConfig.from_config(config), dtype=dtype,
-                   width=ChannelResolver.from_config(config), pallas=pallas, **kw)
+                   width=ChannelResolver.from_config(config), pallas=pallas,
+                   reorg_order=reorg_order, **kw)
 
     @property
     def out_channels(self) -> int:

@@ -50,7 +50,7 @@ class _PlanModel(ModelBase):
         """images: (B, H, W, 3) in [0, 1] → raw head (B, H/32, W/32, A*(5+C))."""
         raw, new_state = run_plan(self.plan, params, state, images,
                                   bn=self.bn, train=train, compute_dtype=self.dtype,
-                                  pallas=self.pallas)
+                                  pallas=self.pallas, reorg_order=self.reorg_order)
         return raw, new_state
 
     def fold(self, params, state):
@@ -69,7 +69,7 @@ class _PlanModel(ModelBase):
     def apply_folded(self, folded, images):
         raw, _ = run_plan(self.plan, folded, {}, images,
                           bn=self.bn, train=False, compute_dtype=self.dtype,
-                          pallas=self.pallas)
+                          pallas=self.pallas, reorg_order=self.reorg_order)
         return raw
 
 

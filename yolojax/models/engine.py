@@ -73,15 +73,18 @@ def init_plan(rng, plan):
 
 
 def run_plan(plan, params, state, x, *, bn: BNConfig, train: bool, compute_dtype,
-             pallas: frozenset = frozenset()):
+             pallas: frozenset = frozenset(), reorg_order: str = "darknet"):
     """Execute the plan → (output tensor, new_state).
 
     ``pallas`` selects TPU kernels (inference paths only — the Pallas kernels
     carry no custom VJPs, so training always lowers through XLA).
+    ``reorg_order`` selects the passthrough channel semantics (ops/reorg.py);
+    the Pallas reorg kernel implements the s2d order only.
     """
     from . import pallas_active
 
-    use_reorg_k = not train and pallas_active("reorg", pallas)
+    use_reorg_k = (not train and pallas_active("reorg", pallas)
+                   and reorg_order == "s2d")
     use_dw_k = not train and pallas_active("dwconv", pallas)
     slots = {}
     new_state = dict(state)
@@ -117,7 +120,7 @@ def run_plan(plan, params, state, x, *, bn: BNConfig, train: bool, compute_dtype
 
                 x = reorg_pallas(x, op[1])
             else:
-                x = reorg(x, op[1])
+                x = reorg(x, op[1], reorg_order)
         elif kind == "concat":
             x = jax.numpy.concatenate([x, slots[op[1]]], axis=-1)
         else:

@@ -45,6 +45,19 @@ def prune(model, params, state, ratio: float, skip=("out",)):
     fields).
     """
     defs = model.layer_defs
+    skip = set(skip)
+    order = getattr(model, "reorg_order", "darknet")
+    if order == "darknet":
+        # darknet's true reorg reinterprets the (C,H,W) buffer — output
+        # channels mix input channels across rows, so per-channel pruning
+        # cannot propagate through it: the conv feeding each reorg keeps
+        # full width (its 64 channels are <1% of the model's params)
+        last_conv = None
+        for op in model.plan:
+            if op[0] == "conv":
+                last_conv = op[1].name
+            elif op[0] == "reorg" and last_conv is not None:
+                skip.add(last_conv)
     keep = _keep_indices(params, defs, ratio, frozenset(skip))
 
     new_params, new_state, channels = {}, {}, {}
@@ -85,9 +98,15 @@ def prune(model, params, state, ratio: float, skip=("out",)):
             in_idx, orig_ch = slots[op[1]]
         elif kind == "reorg":
             s2 = op[1] * op[1]
-            # pruned tensor channel order is offset-major over kept channels;
-            # map back to original ids (p*s+q)*C_orig + c
-            in_idx = np.concatenate([o * orig_ch + in_idx for o in range(s2)])
+            if order == "darknet":
+                # feeder conv was forced full-width above, so the reorg is a
+                # fixed bijection: all output channels survive in order
+                assert len(in_idx) == orig_ch, "darknet reorg input must be unpruned"
+                in_idx = np.arange(orig_ch * s2)
+            else:
+                # s2d: pruned tensor channel order is offset-major over kept
+                # channels; map back to original ids (p*s+q)*C_orig + c
+                in_idx = np.concatenate([o * orig_ch + in_idx for o in range(s2)])
             orig_ch *= s2
         elif kind == "concat":
             slot_idx, slot_orig = slots[op[1]]
