@@ -32,7 +32,11 @@ def voc_ap(recall: np.ndarray, precision: np.ndarray, use_07_metric: bool = True
         return 0.0
     if use_07_metric:
         ap = 0.0
-        for t in np.linspace(0.0, 1.0, 11):
+        # thresholds as i/10, NOT linspace/arange: those yield
+        # 0.6000000000000001 etc., silently excluding recalls that equal the
+        # threshold exactly (k/npos == 3/5) — caught by the independent
+        # cross-validation oracle (tests/test_ap_crossval.py)
+        for t in (np.arange(11) / 10.0):
             mask = recall >= t
             ap += (precision[mask].max() if mask.any() else 0.0) / 11.0
         return float(ap)
