@@ -117,3 +117,88 @@ def test_postprocess_pallas_matches_xla(rng):
     np.testing.assert_allclose(np.where(keep[..., None], np.asarray(a.yx_min), 0),
                                np.where(keep[..., None], np.asarray(p.yx_min), 0),
                                rtol=1e-6)
+
+
+def _dwsep_reference(x, wd, bd, wp, bp, stride):
+    """The XLA pair the fused kernel must match: conv_apply-style rounding
+    (conv emits the compute dtype, bias+leaky in f32, cast back)."""
+    def leaky(v):
+        return jnp.where(v >= 0, v, 0.1 * v)
+
+    c = x.shape[-1]
+    y = jax.lax.conv_general_dilated(
+        x, wd.reshape(3, 3, 1, c), (stride, stride), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+    y = leaky(y.astype(jnp.float32) + bd).astype(x.dtype)
+    z = jax.lax.conv_general_dilated(
+        y, wp.reshape(1, 1, *wp.shape), (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return leaky(z.astype(jnp.float32) + bp).astype(x.dtype)
+
+
+@pytest.mark.parametrize("stride,shape,cout", [
+    (1, (2, 12, 12, 16), 32), (2, (4, 12, 12, 16), 32),
+    (1, (1, 9, 9, 8), 8),                       # odd spatial, ib=1
+    (2, (8, 13, 13, 16), 8),                    # odd spatial under stride 2
+    (1, (2, 26, 26, 8), 16), (2, (2, 27, 27, 8), 16),
+])
+def test_dwsep_pallas_matches_xla_pair(rng, stride, shape, cout):
+    from yolojax.kernels.dwsep import dwsep_pallas
+
+    c = shape[-1]
+    x = rng.standard_normal(shape).astype(np.float32)
+    wd = rng.standard_normal((3, 3, c)).astype(np.float32) * 0.2
+    bd = rng.standard_normal((c,)).astype(np.float32)
+    wp = rng.standard_normal((c, cout)).astype(np.float32) * 0.2
+    bp = rng.standard_normal((cout,)).astype(np.float32)
+    got = np.asarray(dwsep_pallas(jnp.asarray(x), jnp.asarray(wd), jnp.asarray(bd),
+                                  jnp.asarray(wp), jnp.asarray(bp), stride))
+    want = np.asarray(_dwsep_reference(jnp.asarray(x), jnp.asarray(wd), bd, wp, bp, stride))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_dwsep_pallas_bf16_bit_parity(rng):
+    """bf16 path must round exactly like the unfused conv_apply pair."""
+    from yolojax.kernels.dwsep import dwsep_pallas
+
+    c, cout = 8, 16
+    x = jnp.asarray(rng.standard_normal((2, 13, 13, c)), jnp.bfloat16)
+    wd = jnp.asarray(rng.standard_normal((3, 3, c)) * 0.2, jnp.bfloat16)
+    bd = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+    wp = jnp.asarray(rng.standard_normal((c, cout)) * 0.2, jnp.bfloat16)
+    bp = jnp.asarray(rng.standard_normal((cout,)), jnp.float32)
+    got = np.asarray(dwsep_pallas(x, wd, bd, wp, bp, 1), np.float32)
+    want = np.asarray(_dwsep_reference(x, wd, bd, wp, bp, 1), np.float32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_engine_dwsep_pairing_matches_xla(rng):
+    """run_plan with dwsep selected fuses folded dw+pw pairs; same output."""
+    from yolojax.models import LayerDef
+    from yolojax.models.engine import run_plan
+    from yolojax.models.blocks import BNConfig
+
+    c = 128  # pairing gate requires lane-aligned channels
+    plan = [("conv", LayerDef("dw", c, 3, groups=c, in_ch=c)),
+            ("conv", LayerDef("pw", 64, 1, in_ch=c))]
+    params = {
+        "dw": {"w": jnp.asarray(rng.standard_normal((3, 3, 1, c)) * 0.2, jnp.float32),
+               "b": jnp.asarray(rng.standard_normal((c,)), jnp.float32)},
+        "pw": {"w": jnp.asarray(rng.standard_normal((1, 1, c, 64)) * 0.2, jnp.float32),
+               "b": jnp.asarray(rng.standard_normal((64,)), jnp.float32)},
+    }
+    x = jnp.asarray(rng.standard_normal((2, 14, 14, c)), jnp.float32)
+    bn = BNConfig()
+    want, _ = run_plan(plan, params, {}, x, bn=bn, train=False,
+                       compute_dtype=jnp.float32)
+    import yolojax.models as M
+    orig = M.pallas_active
+    M.pallas_active = lambda which, enabled: which in enabled  # force on CPU
+    try:
+        got, _ = run_plan(plan, params, {}, x, bn=bn, train=False,
+                          compute_dtype=jnp.float32,
+                          pallas=frozenset({"dwsep"}))
+    finally:
+        M.pallas_active = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)

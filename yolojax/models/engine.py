@@ -86,13 +86,43 @@ def run_plan(plan, params, state, x, *, bn: BNConfig, train: bool, compute_dtype
     use_reorg_k = (not train and pallas_active("reorg", pallas)
                    and reorg_order == "s2d")
     use_dw_k = not train and pallas_active("dwconv", pallas)
+    use_dwsep = not train and pallas_active("dwsep", pallas)
+
+    def _dwsep_pair(i, d):
+        """Folded dw3×3 + next-op pw1×1 fusable by the Pallas dwsep kernel?
+        Gated to small spatial sizes (≤40): XLA's pair lowering is already at
+        the fused-traffic roofline at large sizes (DEVNOTES.md)."""
+        if not (use_dwsep and d.groups > 1 and d.ksize == 3 and d.act
+                and d.in_ch % 128 == 0 and x.shape[1] <= 40
+                and "b" in params.get(d.name, {})):
+            return None
+        nxt = plan[i + 1] if i + 1 < len(plan) else None
+        if not (nxt and nxt[0] == "conv"):
+            return None
+        n = nxt[1]
+        if n.ksize == 1 and n.groups == 1 and n.act and "b" in params.get(n.name, {}):
+            return n
+        return None
+
     slots = {}
     new_state = dict(state)
     x = x.astype(compute_dtype)
-    for op in plan:
+    skip = -1
+    for i, op in enumerate(plan):
+        if i == skip:
+            continue
         kind = op[0]
         if kind == "conv":
             d = op[1]
+            n = _dwsep_pair(i, d)
+            if n is not None:
+                from ..kernels.dwsep import dwsep_pallas
+
+                pd, pp = params[d.name], params[n.name]
+                x = dwsep_pallas(x, pd["w"].astype(compute_dtype), pd["b"],
+                                 pp["w"].astype(compute_dtype), pp["b"], d.stride)
+                skip = i + 1
+                continue
             # Pallas dwconv needs lane-aligned channels (Mosaic DMA slices
             # must be 128-wide); the small early layers stay on XLA
             if use_dw_k and d.groups > 1 and d.ksize == 3 and d.in_ch % 128 == 0:
