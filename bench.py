@@ -8,7 +8,7 @@ Baseline: the YOLO9000 paper's 67 FPS at 416×416 on a Titan X
 own — BASELINE.md).
 
 Env overrides: BENCH_BATCH (default 64), BENCH_ITERS (default 30),
-BENCH_MODE=infer|train (default infer).
+BENCH_MODE=infer|train|e2e|pipeline (default infer).
 """
 
 from __future__ import annotations
@@ -128,6 +128,89 @@ def bench_train(batch: int, iters: int) -> float:
     return batch * iters / dt
 
 
+def bench_e2e(batch: int, iters: int) -> float:
+    """True end-to-end train throughput: host decode (memmap cache) → fused
+    on-device augmentation → train step, through the real Dataset/Loader and
+    the production Train loop body (VERDICT #6: host-vs-device balance as one
+    tracked number, not a footnote).
+
+    NOTE this sandbox's host has ONE CPU core (DEVNOTES.md) — on it the
+    number is host-bound far below the device train rate; on a real v5e host
+    it converges to BENCH_MODE=train.
+    """
+    import argparse
+    import shutil
+    import tempfile
+
+    from yolojax.cli.cache import main as cache_main
+    from yolojax.cli.train import Train
+    from yolojax.config import load_config
+    from yolojax.data.synth import CLASSES, generate_voc
+
+    root = tempfile.mkdtemp(prefix="bench_e2e")
+    try:
+        voc = generate_voc(root, 256, seed=11)
+        category = os.path.join(root, "category")
+        with open(category, "w") as f:
+            f.write("\n".join(CLASSES))
+        overlay = os.path.join(root, "bench.ini")
+        with open(overlay, "w") as f:
+            f.write(f"""[config]
+root = {root}/artifacts
+[cache]
+datasets = yolojax.data.voc
+category = {category}
+voc_roots = {voc}
+[model]
+name = bench_e2e
+[data]
+batch_size = {batch}
+max_boxes = 10
+workers = {os.cpu_count() or 4}
+decoded_cache = 1
+[train]
+multi_scale_min = 416
+multi_scale_max = 416
+[summary]
+scalar = 1000000
+histogram = 1000000
+image = 1000000
+[save]
+interval = 1e9
+keep = 1
+""")
+        base = os.path.join(os.path.dirname(os.path.abspath(__file__)), "config.ini")
+        cfg_files = [base, overlay]
+        assert cache_main(["-c"] + cfg_files) == 0
+        args = argparse.Namespace(batch=None, finetune=None, resume=False,
+                                  freeze=None, epochs=1)
+        t = Train(args, load_config(cfg_files, ()))
+        t.prewarm()
+        warm = 3
+        it = 0
+        import jax
+        import jax.numpy as jnp
+
+        from yolojax.parallel.mesh import shard_host_batch
+        t0 = None
+        for b in t.loader:
+            key = jax.random.fold_in(t.key, it)
+            dev = shard_host_batch(t.mesh, {
+                k: b[k] for k in ("canvas", "hw", "yx_min", "yx_max", "cls", "valid")})
+            t.params, t.state, t.opt_state, metrics = t.train_step(
+                t.params, t.state, t.opt_state, dev, jnp.int32(0), key, 416)
+            it += 1
+            if it == warm:
+                float(metrics["total"])  # drain; see bench_infer
+                t0 = time.perf_counter()
+            elif it == warm + iters:
+                break
+        float(metrics["total"])  # iters steps ran after t0; drain the last
+        return iters * batch / (time.perf_counter() - t0)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def bench_pipeline(batch: int, iters: int) -> float:
     """Host input pipeline: JPEG decode + canvas pack + collate throughput."""
     import tempfile
@@ -161,7 +244,7 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
     mode = os.environ.get("BENCH_MODE", "infer")
-    rate = {"infer": bench_infer, "train": bench_train,
+    rate = {"infer": bench_infer, "train": bench_train, "e2e": bench_e2e,
             "pipeline": bench_pipeline}[mode](batch, iters)
     print(json.dumps({
         "metric": f"yolov2_416_{mode}_images_per_sec_per_chip",

@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Scaled synthetic accuracy gate (VERDICT round-1 item #4b).
+
+The sandbox has no real VOC images or darknet weights, so the mAP north star
+(BASELINE.md: "VOC2007 mAP@0.5 within 0.1") cannot be proven here.  This gate
+de-risks it as far as synthetic data allows: a generated 600-image,
+8-class, multi-object, occlusion-heavy VOC-style dataset is cached, anchors
+are re-estimated with the k-means tool, Darknet-19 is trained from scratch
+with the production recipe (multi-scale 320..608, SGD+momentum+wd, warmup,
+LR milestones, bf16), and mAP@0.5 is then measured on a held-out 100-image
+test split across sizes {320, 416, 544, 608} x {stretch, letterbox}.
+
+Pass criteria (written to SYNTH_GATE.json at the repo root):
+  * mAP@0.5 >= 0.90 at every size with the training-matched resize (stretch)
+  * max-min spread across sizes <= 0.06
+  * |letterbox - stretch| <= 0.06 at every size
+
+A failure in any stage of the pipeline -- cache schema, augmentation
+geometry, loss semantics, decode, NMS, resize inversion, AP protocol --
+drags at least one of these numbers down, so the gate exercises the entire
+chain end-to-end in a way the unit oracles cannot.
+
+Run on the real TPU: `python scripts/synth_gate.py [--steps N] [--root DIR]`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from yolojax.data.synth import CLASSES, generate_voc
+
+
+def write_overlay(root: str, voc: str, steps: int) -> str:
+    category = os.path.join(root, "category8")
+    with open(category, "w") as f:
+        f.write("\n".join(CLASSES))
+    m1, m2 = int(steps * 0.75), int(steps * 0.92)
+    overlay = os.path.join(root, "gate.ini")
+    with open(overlay, "w") as f:
+        f.write(f"""[config]
+root = {root}/artifacts
+[cache]
+datasets = yolojax.data.voc
+category = {category}
+voc_roots = {voc}
+[model]
+name = synthgate
+dnn = yolojax.models.darknet.Darknet
+anchors = {root}/anchors.tsv
+[data]
+batch_size = 16
+max_boxes = 10
+canvas = 672
+sizes = 416,416
+workers = 3
+decoded_cache = 1
+[train]
+learning_rate = 1e-3
+clip = 5.0
+milestones = {m1},{m2}
+multi_scale_min = 320
+multi_scale_max = 608
+multi_scale_interval = 10
+seed = 0
+[eval]
+batch_size = 20
+[summary]
+scalar = 100
+histogram = 1000000
+image = 1000000
+[save]
+interval = 240
+keep = 2
+""")
+    return overlay
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/synth_gate")
+    ap.add_argument("--images", type=int, default=600)
+    ap.add_argument("--steps", type=int, default=6000)
+    ap.add_argument("--skip-train", action="store_true",
+                    help="reuse the latest checkpoint, just re-run the evals")
+    args = ap.parse_args()
+
+    from yolojax.cli import make_parser, setup
+    from yolojax.cli.cache import main as cache_main
+    from yolojax.cli.common import build, load_weights_auto
+    from yolojax.cli.estimate import main as estimate_main
+    from yolojax.cli.eval import run_eval
+    from yolojax.cli.train import main as train_main
+    from yolojax.data.cache import load_cache
+
+    root = args.root
+    os.makedirs(root, exist_ok=True)
+    voc = generate_voc(root, args.images)
+    overlay = write_overlay(root, voc, args.steps)
+    base = os.path.join(REPO, "config.ini")
+    cfg = ["-c", base, overlay]
+
+    t0 = time.time()
+    assert cache_main(cfg) == 0
+    # anchors from the data itself (exercises the k-means tool end-to-end)
+    assert estimate_main(cfg + ["-k", "5", "-o",
+                                os.path.join(root, "anchors.tsv")]) == 0
+    if not args.skip_train:
+        assert train_main(cfg + ["--steps", str(args.steps)]) == 0
+    train_s = time.time() - t0
+
+    # eval grid: sizes x resize modes, one process, run_eval directly
+    eval_args = make_parser("gate eval").parse_args(cfg)
+    config = setup(eval_args)
+    category, anchors, model = build(config)
+    params, state, meta = load_weights_auto(config, model, None, resume=True)
+    records = load_cache(config, "test")
+    results = {}
+    for mode in ("stretch", "letterbox"):
+        config.set("transform", "resize", f"yolojax.data.transform.{mode}")
+        for size in (320, 416, 544, 608):
+            r = run_eval(config, model, params, state, records, size,
+                         config.getint("eval", "batch_size"), category)
+            results[f"{mode}_{size}"] = round(r["map"], 4)
+            print(f"mAP@0.5 {mode:10s} @{size}: {r['map']:.4f}  "
+                  f"({r['rate']:.0f} img/s)", flush=True)
+
+    stretch = [results[f"stretch_{s}"] for s in (320, 416, 544, 608)]
+    spread = max(stretch) - min(stretch)
+    lb_delta = max(abs(results[f"letterbox_{s}"] - results[f"stretch_{s}"])
+                   for s in (320, 416, 544, 608))
+    ok = min(stretch) >= 0.90 and spread <= 0.06 and lb_delta <= 0.06
+    out = {
+        "dataset": {"images": args.images, "classes": len(CLASSES),
+                    "occlusion_iou_cap": 0.45, "objects_per_image": "2-6"},
+        "train": {"steps": args.steps, "recipe": "production config.ini "
+                  "(sgd+momentum+wd, multi-scale 320..608, warmup, bf16)",
+                  "wall_s": round(train_s, 1), "step": int(meta.get("step", 0) or 0)},
+        "map": results,
+        "stretch_spread_across_sizes": round(spread, 4),
+        "max_letterbox_vs_stretch_delta": round(lb_delta, 4),
+        "criteria": {"min_stretch_map": 0.90, "max_spread": 0.06,
+                     "max_lb_delta": 0.06},
+        "pass": bool(ok),
+    }
+    with open(os.path.join(REPO, "SYNTH_GATE.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

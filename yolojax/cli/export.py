@@ -5,7 +5,9 @@ The TPU-native interchange is **StableHLO via jax.export** — the decode is
 part of the exported program (the reference exports its ``Inference`` wrapper
 to ONNX for the same reason: one shared decode everywhere).  The exported
 artifact replays on any XLA runtime (`jax.export.deserialize(...).call`).
-ONNX emission is gated on the ``onnx`` package, which this image lacks.
+``--format onnx`` emits a real ONNX ModelProto via the self-contained
+protobuf writer in tools/onnx_export.py (the image lacks the ``onnx``
+package, so the wire format is produced and verified in-repo).
 """
 
 from __future__ import annotations
@@ -35,13 +37,6 @@ def main(argv=None):
     args = parser.parse_args(argv)
     config = setup(args)
 
-    if args.format == "onnx":
-        try:
-            import onnx  # noqa: F401
-        except ImportError:
-            raise SystemExit("onnx is not installed in this image; use --format "
-                             "stablehlo (replayable on any XLA runtime)")
-
     import jax
     import jax.numpy as jnp
 
@@ -51,6 +46,25 @@ def main(argv=None):
     inference = Inference(model)
     folded = inference.fold(params, state)
     anchors_dev = jnp.asarray(anchors)
+
+    if args.format == "onnx":
+        # self-contained protobuf emission — no onnx package needed
+        # (tools/onnx_export.py; verified by tests/test_onnx_export.py)
+        from ..tools.onnx_export import export_onnx
+
+        blob = export_onnx(model, jax.device_get(folded), anchors,
+                           args.size, batch=args.batch)
+        out = args.output
+        if out is None:
+            model_dir = _config.get_model_dir(config)
+            os.makedirs(model_dir, exist_ok=True)
+            out = os.path.join(model_dir, f"inference_{args.size}.onnx")
+        with open(out, "wb") as f:
+            f.write(blob)
+        _LOG.info("exported ONNX %d bytes (NCHW input %s)", len(blob),
+                  (args.batch, 3, args.size, args.size))
+        print(out)
+        return 0
 
     def fn(images):
         # packed (B, N, 5+C) [ymin,xmin,ymax,xmax,iou,conf...] — one output
