@@ -48,15 +48,28 @@ def bench_infer(batch: int, iters: int) -> float:
         params["out"]["b"] = jax.numpy.asarray(b)
     inference = Inference(model)
     folded = inference.fold(params, state)
+    # BENCH_PALLAS overrides the kernel selection (e.g. "nms" | "fusedpost")
+    tokens = frozenset(os.environ.get("BENCH_PALLAS", "").split(",")) - {""}
+    if tokens:
+        model.pallas = tokens
+    use_fused = pallas_active("fusedpost", model.pallas)
     use_pallas = pallas_active("nms", model.pallas)
+    anchors_np = np.asarray(model.anchors)
 
     def detect_batch(folded, images):
-        det = inference(folded, images)
-        if use_pallas:
+        if use_fused:
+            from yolojax.kernels.nms import postprocess_fused_pallas
+
+            raw = model.apply_folded(folded, images)
+            out = postprocess_fused_pallas(raw, anchors_np, threshold=0.005,
+                                           overlap=0.45, topk=100)
+        elif use_pallas:
             from yolojax.kernels.nms import postprocess_pallas
 
+            det = inference(folded, images)
             out = postprocess_pallas(det, threshold=0.005, overlap=0.45, topk=100)
         else:
+            det = inference(folded, images)
             out = postprocess(det, threshold=0.005, overlap=0.45, topk=100)
         # scalar summary: fetching it forces the whole pipeline to finish
         # (block_until_ready is unreliable through the axon tunnel)

@@ -119,6 +119,51 @@ def test_postprocess_pallas_matches_xla(rng):
                                rtol=1e-6)
 
 
+@pytest.mark.parametrize("b,h,w,a,c", [
+    (3, 13, 13, 5, 20),   # VOC geometry; batch pads to the image-block size
+    (1, 4, 3, 2, 3),      # odd grid, C non-multiple-of-8 → 8-image blocks
+    (5, 2, 2, 1, 1),      # single class (softmax degenerates to 1)
+])
+def test_postprocess_fused_matches_xla(rng, b, h, w, a, c):
+    """Fused decode+NMS kernel == decode → postprocess, pick-for-pick."""
+    from yolojax.kernels.nms import postprocess_fused_pallas
+    from yolojax.ops.postprocess import postprocess_raw
+
+    anchors = rng.uniform(0.5, 4.0, (a, 2)).astype(np.float32)
+    raw = (rng.standard_normal((b, h, w, a * (5 + c))) * 2).astype(np.float32)
+    want = postprocess_raw(raw, anchors, 0.05, 0.45, 16)
+    got = postprocess_fused_pallas(jnp.asarray(raw), anchors, 0.05, 0.45, 16)
+    keep = np.asarray(want.keep)
+    np.testing.assert_array_equal(np.asarray(got.keep), keep)
+    np.testing.assert_array_equal(np.where(keep, np.asarray(got.conf), 0),
+                                  np.where(keep, np.asarray(want.conf), 0))
+    # corners agree to float noise (fusion changes exp/sigmoid rounding on
+    # large pre-pick magnitudes; picks and scores above are bit-exact)
+    m = keep[..., None]
+    for name in ("yx_min", "yx_max"):
+        np.testing.assert_allclose(
+            np.where(m, np.asarray(getattr(got, name)), 0),
+            np.where(m, np.asarray(getattr(want, name)), 0),
+            atol=1e-4, err_msg=name)
+
+
+def test_postprocess_fused_bf16_raw(rng):
+    """bf16 head output (the production compute dtype) decodes identically."""
+    from yolojax.kernels.nms import postprocess_fused_pallas
+    from yolojax.ops.postprocess import postprocess_raw
+
+    b, h, w, a, c = 2, 7, 7, 3, 4
+    anchors = rng.uniform(0.5, 4.0, (a, 2)).astype(np.float32)
+    raw = jnp.asarray(rng.standard_normal((b, h, w, a * (5 + c))) * 2,
+                      jnp.bfloat16)
+    want = postprocess_raw(raw, anchors, 0.05, 0.45, 8)
+    got = postprocess_fused_pallas(raw, anchors, 0.05, 0.45, 8)
+    np.testing.assert_array_equal(np.asarray(got.keep), np.asarray(want.keep))
+    keep = np.asarray(want.keep)
+    np.testing.assert_array_equal(np.where(keep, np.asarray(got.conf), 0),
+                                  np.where(keep, np.asarray(want.conf), 0))
+
+
 def _dwsep_reference(x, wd, bd, wp, bp, stride):
     """The XLA pair the fused kernel must match: conv_apply-style rounding
     (conv emits the compute dtype, bias+leaky in f32, cast back)."""

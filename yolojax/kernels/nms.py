@@ -32,6 +32,7 @@ multiple with -inf scores; picks accumulate into lane-masked carry vectors
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +40,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["nms_select_pallas", "postprocess_pallas"]
+__all__ = ["nms_select_pallas", "postprocess_pallas", "postprocess_fused_pallas"]
 
 _LANES = 128
 _ROWS = 64  # (image, class) rows per program — 8 f32 sublane tiles (v5e sweep:
@@ -52,21 +53,24 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _nms_loop(ymin, xmin, ymax, xmax, scores, *, threshold: float,
-              overlap: float, max_out: int, mo: int):
+              overlap: float, max_out: int, mo: int, with_boxes: bool = False):
     """Row-vectorized greedy loop over (L, Np) score rows.
-    Returns (count (L,1), idx (L,mo), conf (L,mo))."""
+    Returns (count (L,1), idx (L,mo), conf (L,mo)); with ``with_boxes`` also
+    the picked corners (4 more (L,mo) arrays) — used by the fused kernel,
+    whose caller has no decoded HBM box tensor to gather from afterwards."""
     l, n = scores.shape
     area = jnp.maximum(ymax - ymin, 0.0) * jnp.maximum(xmax - xmin, 0.0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (l, n), 1)
     out_lane = jax.lax.broadcasted_iota(jnp.int32, (l, mo), 1)
     neg = jnp.float32(-jnp.inf)
+    nbox = 4 if with_boxes else 0
 
     def cond(carry):
-        k, s, m, _, _ = carry
+        k, s, m = carry[:3]
         return jnp.any((m > threshold) & (k < max_out))
 
     def body(carry):
-        k, s, m, idxv, confv = carry
+        k, s, m, idxv, confv, *boxv = carry
         act = (m > threshold) & (k < max_out)                 # (L, 1)
         i = jnp.argmax(s, axis=1).astype(jnp.int32)[:, None]  # (L, 1)
         sel = lane == i                                       # (L, Np)
@@ -80,17 +84,21 @@ def _nms_loop(ymin, xmin, ymax, xmax, scores, *, threshold: float,
         write = act & (out_lane == k)                         # (L, mo)
         idxv = jnp.where(write, i, idxv)
         confv = jnp.where(write, m, confv)                    # pick's score == row max
+        if with_boxes:
+            boxv = [jnp.where(write, b, v)
+                    for b, v in zip((by0, bx0, by1, bx1), boxv)]
         s = jnp.where(act & ((iou > overlap) | sel), neg, s)
         m = jnp.max(s, axis=1, keepdims=True)
         k = k + act.astype(jnp.int32)
-        return k, s, m, idxv, confv
+        return (k, s, m, idxv, confv, *boxv)
 
     m0 = jnp.max(scores, axis=1, keepdims=True)
-    k, _, _, idxv, confv = jax.lax.while_loop(
+    out = jax.lax.while_loop(
         cond, body,
         (jnp.zeros((l, 1), jnp.int32), scores, m0,
-         jnp.zeros((l, mo), jnp.int32), jnp.zeros((l, mo), jnp.float32)))
-    return k, idxv, confv
+         jnp.zeros((l, mo), jnp.int32), jnp.zeros((l, mo), jnp.float32),
+         *(jnp.zeros((l, mo), jnp.float32) for _ in range(nbox))))
+    return (out[0], *out[3:])
 
 
 def _nms_kernel(boxes_ref, scores_ref, idx_ref, conf_ref, count_ref,
@@ -173,4 +181,142 @@ def postprocess_pallas(det, threshold: float, overlap: float, topk: int,
         yx_min, yx_max, scores, threshold, overlap, topk, rows=rows)
     out_min = jnp.take_along_axis(det.yx_min[:, None], idx[..., None], axis=2)
     out_max = jnp.take_along_axis(det.yx_max[:, None], idx[..., None], axis=2)
+    return PostProcessed(out_min, out_max, conf, valid)
+
+
+# ---------------------------------------------------------------------------
+# Fused decode + NMS (VERDICT round-1 #5): one kernel from the raw head
+# output to picked boxes.  The (B, N, C) confidence tensor and the
+# (B, C, N, 4) per-class box broadcast never exist in HBM — each program
+# decodes its images' candidates in VMEM (exact ops/decode.py op order, so
+# interpret-mode results are bit-identical to decode→postprocess) and feeds
+# the same row-vectorized greedy loop as ``nms_select_pallas``.
+# ---------------------------------------------------------------------------
+
+
+def _fused_kernel(raw_ref, const_ref, idx_ref, conf_ref, count_ref,
+                  y0_ref, x0_ref, y1_ref, x1_ref, *, ib: int, pp: int, c: int,
+                  n: int, h: int, w: int, threshold: float, overlap: float,
+                  max_out: int):
+    """raw_ref: (ib*Pp, Np) component-major rows per image
+    [ty, tx, th, tw, to, cls0..clsC-1, pad...]; const_ref: (8, Np) rows
+    [off_y, off_x, anchor_h, anchor_w] in grid units."""
+    np_ = raw_ref.shape[1]
+    row = lambda r: raw_ref[r:r + 1, :]                       # (1, Np)
+    cst = lambda r: const_ref[r:r + 1, :]
+    lane_ok = jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1) < n
+    scale_y, scale_x = jnp.float32(h), jnp.float32(w)
+
+    ymins, xmins, ymaxs, xmaxs, scores = [], [], [], [], []
+    for i in range(ib):
+        base = i * pp
+        # boxes — op order matches ops/decode.py::decode exactly
+        cy = (jax.nn.sigmoid(row(base + 0)) + cst(0)) / scale_y
+        cx = (jax.nn.sigmoid(row(base + 1)) + cst(1)) / scale_x
+        sh = cst(2) * jnp.exp(jnp.clip(row(base + 2), -12.0, 12.0)) / scale_y
+        sw = cst(3) * jnp.exp(jnp.clip(row(base + 3), -12.0, 12.0)) / scale_x
+        hh, hw = sh * 0.5, sw * 0.5
+        ymin, ymax = cy - hh, cy + hh
+        xmin, xmax = cx - hw, cx + hw
+        obj = jax.nn.sigmoid(row(base + 4))
+        # softmax over the C class-logit rows (jax.nn.softmax op order)
+        mx = row(base + 5)
+        for ci in range(1, c):
+            mx = jnp.maximum(mx, row(base + 5 + ci))
+        exps = [jnp.exp(row(base + 5 + ci) - mx) for ci in range(c)]
+        denom = exps[0]
+        for e in exps[1:]:
+            denom = denom + e
+        sc = jnp.concatenate([obj * (e / denom) for e in exps], axis=0)  # (C, Np)
+        scores.append(jnp.where(lane_ok, sc, -jnp.inf))
+        bcast = lambda v: jnp.broadcast_to(v, (c, np_))
+        ymins.append(bcast(ymin)); xmins.append(bcast(xmin))
+        ymaxs.append(bcast(ymax)); xmaxs.append(bcast(xmax))
+
+    cat = lambda vs: jnp.concatenate(vs, axis=0)              # (ib*C, Np)
+    k, idxv, confv, by0, bx0, by1, bx1 = _nms_loop(
+        cat(ymins), cat(xmins), cat(ymaxs), cat(xmaxs), cat(scores),
+        threshold=threshold, overlap=overlap, max_out=max_out,
+        mo=idx_ref.shape[1], with_boxes=True)
+    idx_ref[...] = idxv
+    conf_ref[...] = confv
+    count_ref[...] = jnp.broadcast_to(k, count_ref.shape)
+    y0_ref[...] = by0; x0_ref[...] = bx0; y1_ref[...] = by1; x1_ref[...] = bx1
+
+
+def postprocess_fused_pallas(raw, anchors, threshold: float, overlap: float,
+                             topk: int):
+    """raw (B, H, W, A*(5+C)) + anchors (A, 2) → PostProcessed, decode and
+    per-class greedy NMS fused into one Pallas kernel.
+
+    ``anchors`` must be concrete (numpy or closure constant under jit) — the
+    per-candidate offset/anchor constant rows are precomputed host-side.
+
+    Host/XLA-side prep is one cheap transpose to component-major
+    (B, 5+C, N) — everything per-candidate (grid offsets, anchor sizes,
+    sigmoid/exp/softmax, corner construction) happens in VMEM.  Each program
+    covers ``ib`` images × C class rows, ib chosen so the row count is a
+    sublane multiple near 128 (the measured sweet spot of the NMS loop).
+    """
+    from ..ops.postprocess import PostProcessed
+
+    b, h, w, ch = raw.shape
+    a = anchors.shape[0]
+    per = ch // a
+    c = per - 5
+    n = h * w * a
+    np_ = _round_up(n, _LANES)
+    pp = _round_up(per, 8)
+
+    base = 8 // math.gcd(c, 8)                    # min images per block
+    ib = base * max(1, 128 // (base * c))         # target ~128 rows/block
+    ib = min(ib, base * -(-b // base))            # don't pad far beyond B
+    bp = _round_up(b, ib)
+    l = ib * c
+
+    # component-major: (B, N, per) → (B, per, N), pad, flatten sublanes
+    raw32 = raw.astype(jnp.float32).reshape(b, n, per)
+    rawT = jnp.transpose(raw32, (0, 2, 1))
+    rawT = jnp.pad(rawT, ((0, bp - b), (0, pp - per), (0, np_ - n)))
+    rawT = rawT.reshape(bp * pp, np_)
+
+    # per-candidate constants in grid units, layout-matched to decode's
+    # (H, W, A) flattening: n = (y*W + x)*A + anchor
+    ai = np.arange(n)
+    consts = np.zeros((8, np_), np.float32)
+    consts[0, :n] = (ai // a) // w                # off_y
+    consts[1, :n] = (ai // a) % w                 # off_x
+    consts[2, :n] = np.asarray(anchors, np.float32)[ai % a, 0]
+    consts[3, :n] = np.asarray(anchors, np.float32)[ai % a, 1]
+
+    kernel = functools.partial(
+        _fused_kernel, ib=ib, pp=pp, c=c, n=n, h=h, w=w,
+        threshold=threshold, overlap=overlap, max_out=topk)
+    mo_pad = _round_up(topk, _LANES)
+    gp = bp * c
+    out2 = lambda dt: jax.ShapeDtypeStruct((gp, mo_pad), dt)
+    spec2 = pl.BlockSpec((l, mo_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    idx, conf, count, y0, x0, y1, x1 = pl.pallas_call(
+        kernel,
+        grid=(bp // ib,),
+        in_specs=[
+            pl.BlockSpec((ib * pp, np_), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, np_), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[spec2, spec2,
+                   pl.BlockSpec((l, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                   spec2, spec2, spec2, spec2],
+        out_shape=[out2(jnp.int32), out2(jnp.float32),
+                   jax.ShapeDtypeStruct((gp, _LANES), jnp.int32),
+                   out2(jnp.float32), out2(jnp.float32),
+                   out2(jnp.float32), out2(jnp.float32)],
+    )(rawT, jnp.asarray(consts))
+
+    cut = lambda v: v.reshape(bp, c, mo_pad)[:b, :, :topk]
+    conf = cut(conf)
+    # count rows broadcast the scalar; take lane 0 of the count block
+    count_bc = count.reshape(bp, c, _LANES)[:b, :, 0]
+    valid = jnp.arange(topk) < count_bc[..., None]
+    out_min = jnp.stack([cut(y0), cut(x0)], axis=-1)
+    out_max = jnp.stack([cut(y1), cut(x1)], axis=-1)
     return PostProcessed(out_min, out_max, conf, valid)

@@ -44,11 +44,21 @@ class Inference:
         batched inference, the eval analog of the sharded train step
         (BASELINE config 2 at scale).
         """
+        import numpy as np
+
         from ..models import pallas_active
 
+        use_fused = pallas_active("fusedpost", self.model.pallas)
         use_pallas = pallas_active("nms", self.model.pallas)
+        anchors_np = np.asarray(self.anchors)
 
         def run(folded, images) -> PostProcessed:
+            if use_fused:
+                from ..kernels.nms import postprocess_fused_pallas
+
+                raw = self.model.apply_folded(folded, images)
+                return postprocess_fused_pallas(raw, anchors_np, threshold,
+                                                overlap, topk)
             det = self(folded, images)
             if use_pallas:
                 from ..kernels.nms import postprocess_pallas
