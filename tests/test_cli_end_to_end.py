@@ -138,6 +138,16 @@ def test_eval_cli(workspace, capsys):
             / "eval.jsonl").exists()
 
 
+def test_eval_cli_coco_protocol(workspace, capsys):
+    """[eval] protocol = coco → AP@[.5:.95] path through the real CLI."""
+    from yolojax.cli.eval import main
+
+    root, cfg = workspace
+    assert main(cfg + ["--size", "64", "-m", "eval/protocol=coco"]) == 0
+    out = capsys.readouterr().out
+    assert "mAP = " in out
+
+
 def test_detect_cli(workspace):
     from yolojax.cli.detect import main
 

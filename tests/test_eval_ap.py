@@ -95,3 +95,87 @@ def test_detection_in_gtless_image_is_fp():
     res = evaluate(rec, use_07_metric=False)
     # FP at rank 1, TP at rank 2: recall [0,1], precision [0,.5] → 0.5
     np.testing.assert_allclose(res["map"], 0.5)
+
+
+# --- COCO protocol (evaluate_coco / ap_101pt) ---------------------------------
+
+def _box(y, x, h=0.2, w=0.2):
+    return np.asarray([[y, x]]), np.asarray([[y + h, x + w]])
+
+
+def test_ap_101pt_hand_computed():
+    from yolojax.eval_ap import ap_101pt
+
+    # 3 dets: TP, FP, TP over 2 positives → recall [.5, .5, 1],
+    # precision [1, .5, 2/3].  Envelope: [1, 2/3, 2/3].
+    # 101-pt: r<=0.5 → 1.0 (51 pts), 0.51..1.0 → 2/3 (50 pts)
+    recall = np.asarray([0.5, 0.5, 1.0])
+    precision = np.asarray([1.0, 0.5, 2 / 3])
+    want = (51 * 1.0 + 50 * (2 / 3)) / 101.0
+    np.testing.assert_allclose(ap_101pt(recall, precision), want, rtol=1e-12)
+
+
+def test_ap_101pt_truncated_recall():
+    from yolojax.eval_ap import ap_101pt
+
+    # recall never reaches 0.6 → points above get 0
+    recall = np.asarray([0.25, 0.5])
+    precision = np.asarray([1.0, 1.0])
+    want = 51 / 101.0  # r in {0,...,0.50}
+    np.testing.assert_allclose(ap_101pt(recall, precision), want, rtol=1e-12)
+
+
+def test_coco_matching_takes_next_best_unmatched_gt():
+    """Two dets whose best-IoU gt coincides: VOC counts the 2nd a duplicate
+    FP; COCO matches it to the next-best gt above threshold."""
+    from yolojax.eval_ap import evaluate_coco
+
+    rec = DetectionRecorder(1)
+    g1 = _box(0.0, 0.0)        # gt A
+    g2 = _box(0.0, 0.12)       # gt B overlaps A's region
+    rec.add_ground_truth("i", np.concatenate([g1[0], g2[0]]),
+                         np.concatenate([g1[1], g2[1]]),
+                         np.asarray([0, 0]), np.asarray([False, False]))
+    # both dets sit exactly on gt A; the 2nd overlaps B at IoU ~0.33
+    d = _box(0.0, 0.04)
+    rec.add_detections("i", np.concatenate([g1[0], d[0]]),
+                       np.concatenate([g1[1], d[1]]),
+                       np.asarray([0.9, 0.8]), np.asarray([0, 0]))
+    res = evaluate_coco(rec, iou_thresholds=[0.3])
+    np.testing.assert_allclose(res["map"], 1.0)   # both TP under COCO
+    res_voc = evaluate(rec, iou_threshold=0.3, use_07_metric=False)
+    assert res_voc["map"] < 1.0                   # VOC: duplicate → FP
+
+
+def test_coco_crowd_gt_ignores_detection():
+    from yolojax.eval_ap import evaluate_coco
+
+    rec = DetectionRecorder(1)
+    gmin, gmax = _box(0.0, 0.0)
+    cmin, cmax = _box(0.5, 0.5, 0.4, 0.4)  # crowd region
+    rec.add_ground_truth("i", np.concatenate([gmin, cmin]),
+                         np.concatenate([gmax, cmax]),
+                         np.asarray([0, 0]), np.asarray([False, True]))
+    rec.add_detections("i", np.concatenate([gmin, cmin]),
+                       np.concatenate([gmax, cmax]),
+                       np.asarray([0.9, 0.8]), np.asarray([0, 0]))
+    res = evaluate_coco(rec, iou_thresholds=[0.5])
+    # det 2 falls in the crowd region → dropped, not FP; AP stays 1.0
+    np.testing.assert_allclose(res["map"], 1.0)
+
+
+def test_coco_ap_averages_over_iou_thresholds():
+    from yolojax.eval_ap import evaluate_coco
+
+    rec = DetectionRecorder(1)
+    gmin, gmax = _box(0.0, 0.0, 0.4, 0.4)
+    rec.add_ground_truth("i", gmin, gmax, np.asarray([0]), np.asarray([False]))
+    # det shifted: IoU = (0.3*0.4)/(2*0.16 - 0.12) = 0.6 → TP for thr <= 0.6
+    rec.add_detections("i", np.asarray([[0.1, 0.0]]), np.asarray([[0.5, 0.4]]),
+                       np.asarray([0.9]), np.asarray([0]))
+    res = evaluate_coco(rec)
+    # thresholds 0.5..0.6 hit (3 of 10), 0.65+ miss
+    np.testing.assert_allclose(res["map"], 0.3, atol=1e-9)
+    np.testing.assert_allclose(res["map_50"], 1.0)
+    np.testing.assert_allclose(res["map_75"], 0.0)
+    assert set(res["ap"]) == {round(0.5 + i * 0.05, 2) for i in range(10)}

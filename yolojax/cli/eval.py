@@ -22,7 +22,7 @@ from ..data.cache import load_cache
 from ..data.dataset import Dataset
 from ..data.loader import Loader
 from ..data.transform import resize_from_config
-from ..eval_ap import DetectionRecorder, evaluate
+from ..eval_ap import DetectionRecorder, evaluate, evaluate_coco
 from ..models.inference import Inference
 from ..utils.metrics import Meter
 from . import make_parser, setup
@@ -88,7 +88,14 @@ def run_eval(config, model, params, state, records, size: int, batch_size: int,
                 conf = out.conf[b, c][keep]
                 recorder.add_detections(idx, np.clip(dmin, 0, 1), np.clip(dmax, 0, 1),
                                         conf, np.full(len(conf), c))
-    result = evaluate(recorder, iou_threshold=iou, use_07_metric=use07)
+    # [eval] protocol = voc (default) | coco.  coco → AP@[.5:.95] with
+    # 101-point interpolation and crowd-ignore matching (BASELINE.md's COCO
+    # metric); "map" stays the headline number either way.
+    if config.get("eval", "protocol", fallback="voc") == "coco":
+        result = evaluate_coco(recorder)
+        result["ap"] = result["ap"][0.5]  # per-class table shown at IoU 0.5
+    else:
+        result = evaluate(recorder, iou_threshold=iou, use_07_metric=use07)
     result["rate"] = meter.rate
     result["recorder"] = recorder
     return result
@@ -117,9 +124,15 @@ def main(argv=None):
     result = run_eval(config, model, params, state, records, size, batch_size, category)
     for c, ap in sorted(result["ap"].items()):
         _LOG.info("AP %-16s %.4f", category[c], ap)
-    _LOG.info("mAP@%.2f = %.4f  (%d images, %.1f img/s, %.1fs)",
-              config.getfloat("eval", "iou", fallback=0.5), result["map"],
-              len(records), result["rate"], time.time() - t0)
+    if "map_50" in result:
+        _LOG.info("AP@[.5:.95] = %.4f  AP50 = %.4f  AP75 = %.4f  "
+                  "(%d images, %.1f img/s, %.1fs)", result["map"],
+                  result["map_50"], result["map_75"], len(records),
+                  result["rate"], time.time() - t0)
+    else:
+        _LOG.info("mAP@%.2f = %.4f  (%d images, %.1f img/s, %.1fs)",
+                  config.getfloat("eval", "iou", fallback=0.5), result["map"],
+                  len(records), result["rate"], time.time() - t0)
 
     if args.results:
         with open(args.results, "w") as f:

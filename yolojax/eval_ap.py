@@ -23,7 +23,8 @@ import numpy as np
 
 from .ops.iou import np_iou_matrix
 
-__all__ = ["voc_ap", "DetectionRecorder", "evaluate"]
+__all__ = ["voc_ap", "ap_101pt", "DetectionRecorder", "evaluate",
+           "evaluate_coco"]
 
 
 def voc_ap(recall: np.ndarray, precision: np.ndarray, use_07_metric: bool = True) -> float:
@@ -46,6 +47,19 @@ def voc_ap(recall: np.ndarray, precision: np.ndarray, use_07_metric: bool = True
     mpre = np.maximum.accumulate(mpre[::-1])[::-1]
     idx = np.where(mrec[1:] != mrec[:-1])[0]
     return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
+
+
+def ap_101pt(recall: np.ndarray, precision: np.ndarray) -> float:
+    """COCO-style AP: precision envelope sampled at 101 recall points
+    (0, 0.01, …, 1.0), as in pycocotools ``COCOeval.accumulate``."""
+    if recall.size == 0:
+        return 0.0
+    mpre = np.maximum.accumulate(precision[::-1])[::-1]
+    # precision at the first detection whose recall >= r (envelope value)
+    idx = np.searchsorted(recall, np.arange(101) / 100.0, side="left")
+    valid = idx < recall.size
+    return float(np.where(valid, mpre[np.minimum(idx, recall.size - 1)], 0.0)
+                 .sum() / 101.0)
 
 
 class DetectionRecorder:
@@ -124,3 +138,78 @@ def evaluate(recorder: DetectionRecorder, iou_threshold: float = 0.5,
             aps[c] = ap
     mean = float(np.mean(list(aps.values()))) if aps else 0.0
     return {"ap": aps, "map": mean}
+
+
+def _class_ap_coco(dets: list, gts: dict, cls: int, iou_threshold: float) -> float:
+    """COCO-style per-class AP at one IoU threshold.
+
+    Differences from the VOC matcher above (pycocotools ``COCOeval.evaluateImg``):
+    a detection matches the highest-IoU *unmatched, non-ignore* gt with
+    IoU ≥ threshold (VOC instead takes the global argmax gt and fails if it
+    is already claimed); detections left over that overlap an ignore/crowd gt
+    (``difficult`` here — the cache maps COCO ``iscrowd`` onto it) at ≥
+    threshold are dropped from the PR curve rather than counted FP; AP uses
+    101-point recall interpolation.
+    """
+    npos = sum((~g["difficult"]).sum() for (_, c), g in gts.items() if c == cls)
+    if not dets:
+        return 0.0 if npos else float("nan")
+    dets = sorted(dets, key=lambda d: -d[1])
+    matched: dict = defaultdict(set)
+    tp = np.zeros(len(dets))
+    fp = np.zeros(len(dets))
+    for i, (img, _conf, dmin, dmax) in enumerate(dets):
+        g = gts.get((img, cls))
+        if g is None or len(g["difficult"]) == 0:
+            fp[i] = 1
+            continue
+        ious = np_iou_matrix(dmin[None], dmax[None], g["yx_min"], g["yx_max"])[0]
+        order = np.argsort(-ious)
+        hit = ignore = False
+        for j in order:
+            if ious[j] < iou_threshold:
+                break
+            if g["difficult"][j]:
+                ignore = True      # crowd/ignore region covers this detection
+                continue
+            if int(j) in matched[img]:
+                continue           # try the next-best gt (COCO semantics)
+            tp[i] = 1
+            matched[img].add(int(j))
+            hit = True
+            break
+        if not hit and not ignore:
+            fp[i] = 1
+    keep = (tp + fp) > 0
+    tp, fp = tp[keep], fp[keep]
+    ctp, cfp = np.cumsum(tp), np.cumsum(fp)
+    recall = ctp / max(npos, 1)
+    precision = ctp / np.maximum(ctp + cfp, 1e-12)
+    return ap_101pt(recall, precision)
+
+
+def evaluate_coco(recorder: DetectionRecorder,
+                  iou_thresholds=None) -> dict:
+    """COCO protocol: AP averaged over IoU ∈ {0.5, 0.55, …, 0.95} with
+    101-point interpolation (BASELINE.md's "COCO test-dev AP@[.5:.95]").
+    Returns ``map`` (the headline AP), plus ``map_50``/``map_75`` and the
+    per-threshold per-class table."""
+    if iou_thresholds is None:
+        iou_thresholds = np.arange(10) * 0.05 + 0.5
+    per_thr = {}
+    for thr in iou_thresholds:
+        aps = {}
+        for c in range(recorder.num_classes):
+            ap = _class_ap_coco(recorder.dets.get(c, []), recorder.gts, c,
+                                float(thr))
+            if not np.isnan(ap):
+                aps[c] = ap
+        per_thr[round(float(thr), 2)] = aps
+    means = {t: (float(np.mean(list(a.values()))) if a else 0.0)
+             for t, a in per_thr.items()}
+    return {
+        "map": float(np.mean(list(means.values()))) if means else 0.0,
+        "map_50": means.get(0.5, 0.0),
+        "map_75": means.get(0.75, 0.0),
+        "ap": per_thr,
+    }
