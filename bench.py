@@ -30,7 +30,16 @@ def bench_infer(batch: int, iters: int) -> float:
     from yolojax.models.inference import Inference
     from yolojax.ops.postprocess import postprocess
 
-    model = _flagship()
+    # BENCH_MODEL=darknet|tiny|mobilenet selects the backbone (same head)
+    which = os.environ.get("BENCH_MODEL", "darknet")
+    if which == "mobilenet":
+        from yolojax.models.mobilenet import MobileNet
+
+        flag = _flagship()
+        model = MobileNet(anchors=flag.anchors, num_classes=flag.num_classes,
+                          dtype=flag.dtype, pallas=flag.pallas)
+    else:
+        model = _flagship(tiny=which == "tiny")
     params, state = model.init(jax.random.PRNGKey(0))
     # Trained-detector candidate density: darknet trains objectness toward
     # predicted IoU, so background cells (the vast majority) sit near zero.
@@ -257,10 +266,12 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
     mode = os.environ.get("BENCH_MODE", "infer")
+    which = os.environ.get("BENCH_MODEL", "darknet")
+    model_tag = "" if which == "darknet" else f"_{which}"
     rate = {"infer": bench_infer, "train": bench_train, "e2e": bench_e2e,
             "pipeline": bench_pipeline}[mode](batch, iters)
     print(json.dumps({
-        "metric": f"yolov2_416_{mode}_images_per_sec_per_chip",
+        "metric": f"yolov2{model_tag}_416_{mode}_images_per_sec_per_chip",
         "value": round(rate, 2),
         "unit": "images/sec",
         "vs_baseline": round(rate / BASELINE_FPS, 3),

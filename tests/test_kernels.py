@@ -119,6 +119,54 @@ def test_postprocess_pallas_matches_xla(rng):
                                rtol=1e-6)
 
 
+@pytest.mark.parametrize("shape,dtype", [
+    ((2, 8, 8, 16), jnp.float32),
+    ((1, 104, 104, 128), jnp.float32),   # the slow Darknet pool3 shape
+    ((3, 16, 12, 32), jnp.float32),      # rectangular
+    ((2, 26, 26, 512), jnp.bfloat16),    # bf16 production dtype (pool5)
+])
+def test_maxpool_pallas_matches_reduce_window(rng, shape, dtype):
+    from yolojax.kernels.pool import maxpool2x2_pallas
+
+    x = jnp.asarray(rng.standard_normal(shape), dtype)
+    want = jax.lax.reduce_window(x, jnp.asarray(-jnp.inf, dtype), jax.lax.max,
+                                 (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    got = maxpool2x2_pallas(x)
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(want, np.float32))
+
+
+def test_engine_pool_pallas_matches_xla(rng):
+    """run_plan with pool selected routes eligible pools through the kernel."""
+    from yolojax.models import LayerDef
+    from yolojax.models.blocks import BNConfig
+    from yolojax.models.engine import run_plan
+
+    plan = [("conv", LayerDef("c1", 128, 3, in_ch=8)), ("pool", 2, 2),
+            ("conv", LayerDef("c2", 64, 1, in_ch=128)), ("pool", 2, 2)]
+    params = {
+        "c1": {"w": jnp.asarray(rng.standard_normal((3, 3, 8, 128)) * 0.1,
+                                jnp.float32),
+               "b": jnp.asarray(rng.standard_normal((128,)), jnp.float32)},
+        "c2": {"w": jnp.asarray(rng.standard_normal((1, 1, 128, 64)) * 0.1,
+                                jnp.float32),
+               "b": jnp.asarray(rng.standard_normal((64,)), jnp.float32)},
+    }
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 8)), jnp.float32)
+    bn = BNConfig()
+    want, _ = run_plan(plan, params, {}, x, bn=bn, train=False,
+                       compute_dtype=jnp.float32)
+    import yolojax.models as M
+    orig = M.pallas_active
+    M.pallas_active = lambda which, enabled: which in enabled  # force on CPU
+    try:
+        got, _ = run_plan(plan, params, {}, x, bn=bn, train=False,
+                          compute_dtype=jnp.float32, pallas=frozenset({"pool"}))
+    finally:
+        M.pallas_active = orig
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 @pytest.mark.parametrize("b,h,w,a,c", [
     (3, 13, 13, 5, 20),   # VOC geometry; batch pads to the image-block size
     (1, 4, 3, 2, 3),      # odd grid, C non-multiple-of-8 → 8-image blocks

@@ -112,3 +112,67 @@ def test_adamw_masks_decay_to_conv_kernels_only():
     assert float(jnp.abs(updates["c1"]["gamma"]).max()) == 0.0
     assert float(jnp.abs(updates["c1"]["beta"]).max()) == 0.0
     assert float(jnp.abs(updates["c1"]["w"]).max()) > 0.0
+
+
+class _WatchdogStub:
+    """Duck-typed Train for exercising _maybe_restart in isolation."""
+
+    def __init__(self, limit, argv):
+        self.rss_limit_gb = limit
+        self.restart_argv = argv
+        self.step = 50            # on the check cadence
+        self.saved = []
+        import types
+        self.summary = types.SimpleNamespace(close=lambda: None)
+
+    def save(self, tag=""):
+        self.saved.append(tag)
+
+
+def test_rss_watchdog_exec_restarts_with_resume(monkeypatch):
+    """Past the limit, the watchdog checkpoints then execs argv + -r
+    (the axon tunnel leaks one host batch per step — DEVNOTES.md)."""
+    import os as _os
+
+    from yolojax.cli import train as T
+
+    monkeypatch.setattr(T, "_rss_gb", lambda: 99.0)
+    calls = []
+    monkeypatch.setattr(_os, "execv", lambda exe, argv: calls.append((exe, argv)))
+    stub = _WatchdogStub(limit=10.0, argv=["train.py", "--steps", "100"])
+    T.Train._maybe_restart(stub)
+    assert stub.saved == ["rss-restart"]
+    assert len(calls) == 1
+    assert calls[0][1][-1] == "-r"           # resume appended
+    assert "--steps" in calls[0][1]
+
+    # already resuming: -r not duplicated
+    stub2 = _WatchdogStub(limit=10.0, argv=["train.py", "-r"])
+    T.Train._maybe_restart(stub2)
+    assert calls[1][1].count("-r") == 1
+
+
+def test_rss_watchdog_under_limit_and_in_process(monkeypatch):
+    import os as _os
+
+    from yolojax.cli import train as T
+
+    calls = []
+    monkeypatch.setattr(_os, "execv", lambda *a: calls.append(a))
+
+    # under the limit: nothing happens
+    monkeypatch.setattr(T, "_rss_gb", lambda: 1.0)
+    stub = _WatchdogStub(limit=10.0, argv=["train.py"])
+    T.Train._maybe_restart(stub)
+    assert not stub.saved and not calls
+
+    # over the limit but invoked in-process (no argv): warn, never exec
+    monkeypatch.setattr(T, "_rss_gb", lambda: 99.0)
+    stub = _WatchdogStub(limit=10.0, argv=None)
+    T.Train._maybe_restart(stub)
+    assert not stub.saved and not calls
+
+    # disabled (limit 0): no-op even over limit
+    stub = _WatchdogStub(limit=0.0, argv=["train.py"])
+    T.Train._maybe_restart(stub)
+    assert not calls

@@ -13,6 +13,12 @@ multi_scale_interval`` batches; seconds-cadence checkpointing + save on
 KeyboardInterrupt; resume via ``-r``; per-component loss scalars, LR,
 histograms and box-image summaries at ``[summary]`` cadences; ``seen``-driven
 loss warmup.
+
+Self-healing: the loop watches its own RSS and, past ``[train]
+rss_restart_fraction`` of host memory, checkpoints and exec-restarts itself
+with ``-r`` (long runs through the axon TPU tunnel leak one host batch per
+step inside the native client — measured 21.5 MB/step, unreachable from
+Python, DEVNOTES.md; a 6 k-step run was OOM-killed at 130 GB without this).
 """
 
 from __future__ import annotations
@@ -40,6 +46,28 @@ from . import make_parser, setup
 from .common import build, load_weights_auto
 
 _LOG = logging.getLogger(__name__)
+
+
+def _rss_gb() -> float:
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1024 / 1024
+    except OSError:
+        pass
+    return 0.0
+
+
+def _mem_total_gb() -> float:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal"):
+                    return int(line.split()[1]) / 1024 / 1024
+    except OSError:
+        pass
+    return 0.0
 
 
 def multi_scale_sizes(config) -> list[int]:
@@ -117,6 +145,12 @@ class Train:
         self.rng = np.random.default_rng(config.getint("train", "seed", fallback=0))
         self.key = jax.random.PRNGKey(config.getint("train", "seed", fallback=0) + 1)
 
+        # RSS watchdog: checkpoint + exec-restart past this many GB (see
+        # module docstring).  0 disables; default 70% of host memory.
+        frac = config.getfloat("train", "rss_restart_fraction", fallback=0.7)
+        self.rss_limit_gb = frac * _mem_total_gb() if frac > 0 else 0.0
+        self.restart_argv = None  # set by main() for real CLI invocations
+
         model_dir = _config.get_model_dir(config)
         self.saver = ckpt.Saver(model_dir,
                                 interval=config.getfloat("save", "interval", fallback=600),
@@ -157,6 +191,34 @@ class Train:
                            "opt": self.opt_state},
                           {"step": self.step, "seen": self.seen})
         _LOG.info("saved %s %s", path, tag)
+
+    def _maybe_restart(self):
+        """Checkpoint + exec-restart when RSS crosses the watchdog limit."""
+        if not self.rss_limit_gb or self.step % 50:
+            return
+        rss = _rss_gb()
+        if rss < self.rss_limit_gb:
+            return
+        if self.restart_argv is None:  # in-process caller: can't exec safely
+            if not getattr(self, "_rss_warned", False):
+                self._rss_warned = True
+                _LOG.warning("RSS %.1f GB exceeds the %.1f GB watchdog limit "
+                             "but train was invoked in-process; cannot "
+                             "exec-restart (run the CLI for self-healing)",
+                             rss, self.rss_limit_gb)
+            return
+        import os
+        import sys
+
+        self.save("rss-restart")
+        self.summary.close()
+        argv = list(self.restart_argv)
+        if "-r" not in argv and "--resume" not in argv:
+            argv.append("-r")
+        _LOG.warning("RSS %.1f GB > %.1f GB limit: exec-restarting to resume "
+                     "from step %d", rss, self.rss_limit_gb, self.step)
+        logging.shutdown()
+        os.execv(sys.executable, [sys.executable] + argv)
 
     def __call__(self, max_steps: int | None = None):
         epochs = self.args.epochs or self.config.getint("train", "epochs", fallback=160)
@@ -218,6 +280,7 @@ class Train:
                     self.summary.image(self.step, "train/augmented", drawn / 255.0)
                 if self.saver.due(time.time()):
                     self.save()
+                self._maybe_restart()
         except KeyboardInterrupt:
             _LOG.info("interrupted at step %d", self.step)
         finally:
@@ -247,6 +310,10 @@ def main(argv=None):
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     train = Train(args, config)
+    if argv is None:
+        import sys
+
+        train.restart_argv = list(sys.argv)  # enables the RSS watchdog exec
     if args.profile:
         train.profile_dir = args.profile
     train(max_steps=args.steps)

@@ -278,6 +278,10 @@ def postprocess_fused_pallas(raw, anchors, threshold: float, overlap: float,
     raw32 = raw.astype(jnp.float32).reshape(b, n, per)
     rawT = jnp.transpose(raw32, (0, 2, 1))
     rawT = jnp.pad(rawT, ((0, bp - b), (0, pp - per), (0, np_ - n)))
+    if bp > b:
+        # zero logits would decode to objectness 0.5 and saturate the greedy
+        # loop in the padded images' rows — push their scores below threshold
+        rawT = rawT.at[b:, 4, :].set(-30.0)
     rawT = rawT.reshape(bp * pp, np_)
 
     # per-candidate constants in grid units, layout-matched to decode's

@@ -94,7 +94,7 @@ class ModelBase:
     dtype: jnp.dtype = jnp.bfloat16
     width: ChannelResolver = field(default_factory=ChannelResolver)
     # Pallas kernel selection (``[model] pallas``): subset of
-    # {"nms", "fusedpost", "reorg", "dwconv", "dwsep"}; see yolojax.kernels
+    # {"nms", "fusedpost", "reorg", "dwconv", "dwsep", "pool"}; see yolojax.kernels
     pallas: frozenset = frozenset()
     # ``[model] reorg``: "darknet" (true reorg_cpu semantics — required for
     # darknet .weights import parity) or "s2d" (the clean space-to-depth most

@@ -87,6 +87,7 @@ def run_plan(plan, params, state, x, *, bn: BNConfig, train: bool, compute_dtype
                    and reorg_order == "s2d")
     use_dw_k = not train and pallas_active("dwconv", pallas)
     use_dwsep = not train and pallas_active("dwsep", pallas)
+    use_pool_k = not train and pallas_active("pool", pallas)
 
     def _dwsep_pair(i, d):
         """Folded dw3×3 + next-op pw1×1 fusable by the Pallas dwsep kernel?
@@ -139,7 +140,17 @@ def run_plan(plan, params, state, x, *, bn: BNConfig, train: bool, compute_dtype
             if ns:
                 new_state[d.name] = ns
         elif kind == "pool":
-            x = max_pool(x, op[1], op[2])
+            # Pallas path: plain 2×2/2 pools with lane-aligned channels and
+            # even spatial dims (the slow mid-stack pools, DEVNOTES.md); the
+            # stride-1 SAME tail pool (Tiny) and odd shapes stay on XLA
+            if (use_pool_k and op[1] == 2 and op[2] == 2
+                    and x.shape[-1] % 128 == 0
+                    and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+                from ..kernels.pool import maxpool2x2_pallas
+
+                x = maxpool2x2_pallas(x)
+            else:
+                x = max_pool(x, op[1], op[2])
         elif kind == "mark":
             slots[op[1]] = x
         elif kind == "load":
