@@ -208,7 +208,9 @@ keep = 1
                                   freeze=None, epochs=1)
         t = Train(args, load_config(cfg_files, ()))
         t.prewarm()
-        warm = 3
+        # warm a full epoch + 2: the first pass over the data populates the
+        # decoded-canvas memmap cache, which is steady-state for a real run
+        warm = -(-256 // batch) + 2
         it = 0
         import jax
         import jax.numpy as jnp

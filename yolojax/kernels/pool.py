@@ -27,11 +27,12 @@ __all__ = ["maxpool2x2_pallas"]
 
 def _pool_kernel(x_ref, o_ref):
     x = x_ref[0]                      # (2*hb, W, C)
-    a = x[0::2]                       # outer-dim stride: cheap
-    b = x[1::2]
-    m = jnp.maximum(a, b)             # (hb, W, C)
-    hb, w, c = m.shape
-    m = m.reshape(hb, w // 2, 2, c)   # split sublanes statically
+    h2, w, c = x.shape
+    # step-2 strided slices lower to (unsupported) gathers in Mosaic; split
+    # the dims by static reshape and index the pair axis instead
+    x = x.reshape(h2 // 2, 2, w, c)
+    m = jnp.maximum(x[:, 0], x[:, 1])          # (hb, W, C)
+    m = m.reshape(h2 // 2, w // 2, 2, c)
     o_ref[0] = jnp.maximum(m[:, :, 0, :], m[:, :, 1, :])
 
 
