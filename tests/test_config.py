@@ -21,7 +21,7 @@ def test_root_config_constructs_flagship():
     assert len(category) == 20 and anchors.shape == (5, 2)
     model = build_model(config, anchors, len(category))
     assert type(model).__name__ == "Darknet"
-    assert model.pallas == {"nms"}
+    assert model.pallas == {"nms", "fusedpost"}
     assert model.layer_defs[-1].out_ch == 5 * 25
 
 
