@@ -157,8 +157,11 @@ def main(argv=None):
     db = _config.get_eval_db(config)
     os.makedirs(os.path.dirname(db), exist_ok=True)
     with open(db, "a") as f:
-        f.write(json.dumps({"time": time.time(), "size": size, "map": result["map"],
-                            "ap": {category[c]: v for c, v in result["ap"].items()}}) + "\n")
+        row = {"time": time.time(), "size": size, "map": result["map"],
+               "ap": {category[c]: v for c, v in result["ap"].items()}}
+        if "map_50" in result:  # coco protocol: record the sub-metrics too
+            row["map_50"], row["map_75"] = result["map_50"], result["map_75"]
+        f.write(json.dumps(row) + "\n")
     print(f"mAP = {result['map']:.4f}")
     return 0
 
