@@ -164,6 +164,68 @@ def test_coco_crowd_gt_ignores_detection():
     np.testing.assert_allclose(res["map"], 1.0)
 
 
+def test_coco_crowd_overlap_is_intersection_over_det_area():
+    """pycocotools iscrowd semantics: a small detection fully inside a large
+    crowd region has tiny union-IoU but intersection/det-area = 1 → must be
+    ignored, not counted FP (ADVICE r2, medium)."""
+    from yolojax.eval_ap import evaluate_coco
+
+    rec = DetectionRecorder(1)
+    gmin, gmax = _box(0.0, 0.0)                       # one real gt
+    cmin, cmax = _box(0.4, 0.4, 0.5, 0.5)             # big crowd region
+    rec.add_ground_truth("i", np.concatenate([gmin, cmin]),
+                         np.concatenate([gmax, cmax]),
+                         np.asarray([0, 0]), np.asarray([False, True]))
+    # TP on the real gt + a tiny det inside the crowd (union IoU ~0.016)
+    dmin, dmax = _box(0.55, 0.55, 0.05, 0.05)
+    rec.add_detections("i", np.concatenate([gmin, dmin]),
+                       np.concatenate([gmax, dmax]),
+                       np.asarray([0.9, 0.8]), np.asarray([0, 0]))
+    res = evaluate_coco(rec, iou_thresholds=[0.5])
+    np.testing.assert_allclose(res["map"], 1.0)       # crowd det ignored
+
+
+def test_coco_npos_zero_class_excluded_even_with_fps():
+    """A class with detections but no gt anywhere must be excluded from the
+    mean (pycocotools AP=-1), not scored 0 (ADVICE r2, low)."""
+    from yolojax.eval_ap import evaluate_coco
+
+    rec = DetectionRecorder(2)
+    gmin, gmax = _box(0.0, 0.0)
+    rec.add_ground_truth("i", gmin, gmax, np.asarray([0]), np.asarray([False]))
+    rec.add_detections("i", gmin, gmax, np.asarray([0.9]), np.asarray([0]))
+    # class 1: a false positive but zero gts in the whole split
+    rec.add_detections("i", gmin, gmax, np.asarray([0.8]), np.asarray([1]))
+    res = evaluate_coco(rec, iou_thresholds=[0.5])
+    np.testing.assert_allclose(res["map"], 1.0)
+    assert 1 not in res["ap"][0.5]
+    # same consistency on the VOC side
+    res_voc = evaluate(rec, use_07_metric=False)
+    assert 1 not in res_voc["ap"]
+    np.testing.assert_allclose(res_voc["map"], 1.0)
+
+
+def test_coco_max_dets_cap_per_image():
+    """pycocotools maxDets=100: only each image's top-100 dets across classes
+    enter the PR curve (ADVICE r2, low)."""
+    from yolojax.eval_ap import evaluate_coco
+
+    rec = DetectionRecorder(1)
+    gmin, gmax = _box(0.0, 0.0)
+    rec.add_ground_truth("i", gmin, gmax, np.asarray([0]), np.asarray([False]))
+    # the TP at LOW confidence + 100 higher-confidence FPs: with the cap the
+    # TP is evicted (rank 101) → AP 0; without it AP would be > 0
+    rec.add_detections("i", gmin, gmax, np.asarray([0.01]), np.asarray([0]))
+    far = _box(0.7, 0.7, 0.05, 0.05)
+    for k in range(100):
+        rec.add_detections("i", far[0], far[1],
+                           np.asarray([0.5 + k * 1e-3]), np.asarray([0]))
+    res = evaluate_coco(rec, iou_thresholds=[0.5])
+    np.testing.assert_allclose(res["map"], 0.0)
+    res_uncapped = evaluate_coco(rec, iou_thresholds=[0.5], max_dets=1000)
+    assert res_uncapped["map"] > 0.0
+
+
 def test_coco_ap_averages_over_iou_thresholds():
     from yolojax.eval_ap import evaluate_coco
 

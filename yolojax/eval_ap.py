@@ -96,8 +96,13 @@ class DetectionRecorder:
 def _class_ap(dets: list, gts: dict, cls: int, iou_threshold: float,
               use_07_metric: bool) -> float:
     npos = sum((~g["difficult"]).sum() for (_, c), g in gts.items() if c == cls)
+    if npos == 0:
+        # class absent from the split: excluded from the mean even when
+        # false positives exist (matches pycocotools' AP=-1 exclusion; a
+        # class with dets but no gts would otherwise deflate mAP to 0)
+        return float("nan")
     if not dets:
-        return 0.0 if npos else float("nan")
+        return 0.0
     dets = sorted(dets, key=lambda d: -d[1])
     matched: dict = defaultdict(set)
     tp = np.zeros(len(dets))
@@ -148,12 +153,16 @@ def _class_ap_coco(dets: list, gts: dict, cls: int, iou_threshold: float) -> flo
     IoU ≥ threshold (VOC instead takes the global argmax gt and fails if it
     is already claimed); detections left over that overlap an ignore/crowd gt
     (``difficult`` here — the cache maps COCO ``iscrowd`` onto it) at ≥
-    threshold are dropped from the PR curve rather than counted FP; AP uses
-    101-point recall interpolation.
+    threshold are dropped from the PR curve rather than counted FP; crowd
+    overlap is intersection / detection-area (pycocotools ``maskUtils.iou``
+    with ``iscrowd=1``), not union IoU, so a small detection inside a large
+    crowd region is still ignored; AP uses 101-point recall interpolation.
     """
     npos = sum((~g["difficult"]).sum() for (_, c), g in gts.items() if c == cls)
+    if npos == 0:
+        return float("nan")  # class absent from split: excluded (pycocotools AP=-1)
     if not dets:
-        return 0.0 if npos else float("nan")
+        return 0.0
     dets = sorted(dets, key=lambda d: -d[1])
     matched: dict = defaultdict(set)
     tp = np.zeros(len(dets))
@@ -164,6 +173,12 @@ def _class_ap_coco(dets: list, gts: dict, cls: int, iou_threshold: float) -> flo
             fp[i] = 1
             continue
         ious = np_iou_matrix(dmin[None], dmax[None], g["yx_min"], g["yx_max"])[0]
+        if g["difficult"].any():
+            # crowd/ignore gts: overlap = intersection / detection area
+            hw = np.maximum(np.minimum(dmax, g["yx_max"]) - np.maximum(dmin, g["yx_min"]), 0.0)
+            inter = hw[:, 0] * hw[:, 1]
+            darea = max(float(np.prod(np.maximum(dmax - dmin, 0.0))), 1e-12)
+            ious = np.where(g["difficult"], inter / darea, ious)
         order = np.argsort(-ious)
         hit = ignore = False
         for j in order:
@@ -188,19 +203,36 @@ def _class_ap_coco(dets: list, gts: dict, cls: int, iou_threshold: float) -> flo
     return ap_101pt(recall, precision)
 
 
+def _cap_dets_per_image(dets_by_class: dict, max_dets: int) -> dict:
+    """pycocotools ``maxDets``: keep only each image's top-``max_dets``
+    detections by confidence across all classes before building PR curves."""
+    per_image: dict = defaultdict(list)
+    for c, dets in dets_by_class.items():
+        for d in dets:
+            per_image[d[0]].append((d[1], c, d))
+    keep: dict = defaultdict(list)
+    for img, rows in per_image.items():
+        rows.sort(key=lambda r: -r[0])
+        for _conf, c, d in rows[:max_dets]:
+            keep[c].append(d)
+    return keep
+
+
 def evaluate_coco(recorder: DetectionRecorder,
-                  iou_thresholds=None) -> dict:
+                  iou_thresholds=None, max_dets: int = 100) -> dict:
     """COCO protocol: AP averaged over IoU ∈ {0.5, 0.55, …, 0.95} with
     101-point interpolation (BASELINE.md's "COCO test-dev AP@[.5:.95]").
-    Returns ``map`` (the headline AP), plus ``map_50``/``map_75`` and the
-    per-threshold per-class table."""
+    Detections are capped at ``max_dets`` per image across classes
+    (pycocotools default 100). Returns ``map`` (the headline AP), plus
+    ``map_50``/``map_75`` and the per-threshold per-class table."""
     if iou_thresholds is None:
         iou_thresholds = np.arange(10) * 0.05 + 0.5
+    dets_by_class = _cap_dets_per_image(recorder.dets, max_dets)
     per_thr = {}
     for thr in iou_thresholds:
         aps = {}
         for c in range(recorder.num_classes):
-            ap = _class_ap_coco(recorder.dets.get(c, []), recorder.gts, c,
+            ap = _class_ap_coco(dets_by_class.get(c, []), recorder.gts, c,
                                 float(thr))
             if not np.isnan(ap):
                 aps[c] = ap
