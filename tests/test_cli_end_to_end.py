@@ -148,6 +148,25 @@ def test_eval_cli_coco_protocol(workspace, capsys):
     assert "mAP = " in out
 
 
+def test_tiny_overlay_cli(workspace, capsys):
+    """The shipped config/tiny.ini overlay (SURVEY §2.7: tiny-yolo-voc
+    config + anchors) trains and evals through the real CLIs when stacked on
+    a workspace config (VERDICT r2 #7)."""
+    from yolojax.cli.eval import main as eval_main
+    from yolojax.cli.train import main as train_main
+
+    root, cfg = workspace
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # stacked LAST so the overlay's own dnn/name/anchors values win
+    tiny = cfg + [os.path.join(repo, "config", "tiny.ini"),
+                  "-m", "model/dtype=float32"]
+    assert train_main(tiny + ["--steps", "2"]) == 0
+    model_dir = root / "artifacts" / "model" / "category2" / "Tiny" / "tiny"
+    assert "2.npz" in os.listdir(model_dir)
+    assert eval_main(tiny + ["--size", "64"]) == 0
+    assert "mAP = " in capsys.readouterr().out
+
+
 def test_detect_cli(workspace):
     from yolojax.cli.detect import main
 

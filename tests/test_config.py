@@ -42,6 +42,20 @@ def test_mobilenet_overlay():
     assert type(model).__name__ == "MobileNet"
 
 
+def test_tiny_overlay():
+    from yolojax.category import get_anchors
+    from yolojax.models import build_model
+
+    config = load_config([default_config_path(), os.path.join(ROOT, "config/tiny.ini")])
+    anchors = get_anchors(config)
+    assert anchors.shape == (5, 2)
+    # tiny-yolo-voc cfg anchors (w,h) yx-swapped: first row (h,w)=(1.19,1.08)
+    np.testing.assert_allclose(anchors[0], [1.19, 1.08])
+    np.testing.assert_allclose(anchors[-1], [10.52, 16.62])
+    model = build_model(config, anchors, 20)
+    assert type(model).__name__ == "Tiny"
+
+
 def test_modify_overrides_and_new_sections():
     config = load_config(modify=["model/dnn=yolojax.models.darknet.Tiny",
                                  "newsec/key=7"])
