@@ -26,7 +26,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["export_onnx"]
+__all__ = ["export_onnx", "check_model"]
 
 # ---------------------------------------------------------------- protobuf --
 
@@ -299,3 +299,175 @@ def export_onnx(model, folded, anchors, size: int, batch: int = 1,
             + _f_str(3, "round2")
             + _f_bytes(7, graph)
             + _f_bytes(8, _f_str(1, "") + _f_varint(2, opset)))
+
+
+# ------------------------------------------------------ structural checker --
+
+
+def _pb_fields(buf: bytes) -> dict:
+    """Wire-format decode: {field: [value, ...]} (varint→int, LEN→bytes)."""
+    out: dict = {}
+    i = 0
+    while i < len(buf):
+        key = s = 0
+        while True:
+            b = buf[i]
+            i += 1
+            key |= (b & 0x7F) << s
+            if not b & 0x80:
+                break
+            s += 7
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            v = s = 0
+            while True:
+                b = buf[i]
+                i += 1
+                v |= (b & 0x7F) << s
+                if not b & 0x80:
+                    break
+                s += 7
+        elif wire == 2:
+            n = s = 0
+            while True:
+                b = buf[i]
+                i += 1
+                n |= (b & 0x7F) << s
+                if not b & 0x80:
+                    break
+                s += 7
+            v = bytes(buf[i:i + n])
+            if len(v) != n:
+                raise ValueError("truncated LEN field")
+            i += n
+        elif wire == 5:
+            v = bytes(buf[i:i + 4])
+            i += 4
+        elif wire == 1:
+            v = bytes(buf[i:i + 8])
+            i += 8
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        out.setdefault(field, []).append(v)
+    return out
+
+
+def _check_value_info(vb: bytes, what: str) -> str:
+    f = _pb_fields(vb)
+    if 1 not in f:
+        raise ValueError(f"{what}: ValueInfoProto missing name")
+    name = f[1][0].decode()
+    if 2 not in f:
+        raise ValueError(f"{what} {name!r}: missing TypeProto")
+    tt = _pb_fields(f[2][0])
+    if 1 not in tt:
+        raise ValueError(f"{what} {name!r}: TypeProto missing tensor_type")
+    tensor = _pb_fields(tt[1][0])
+    if 1 not in tensor:
+        raise ValueError(f"{what} {name!r}: tensor_type missing elem_type")
+    if 2 not in tensor:
+        raise ValueError(f"{what} {name!r}: tensor_type missing shape")
+    for dim in _pb_fields(tensor[2][0]).get(1, []):
+        d = _pb_fields(dim)
+        if 1 not in d and 2 not in d:
+            raise ValueError(f"{what} {name!r}: dimension with no value/param")
+    return name
+
+
+_DTYPE_SIZE = {1: 4, 7: 8}  # FLOAT, INT64
+
+
+def check_model(blob: bytes) -> dict:
+    """Structural validation of an emitted ModelProto (no ``onnx`` needed).
+
+    Checks the invariants ``onnx.checker`` would reject a file for: required
+    ModelProto fields (ir_version, opset_import, graph), graph name, typed
+    and shaped ValueInfo for every input/output, initializers with dims +
+    dtype + raw_data of exactly the implied byte length, unique node output
+    names, and topological order (every node input is a graph input, an
+    initializer, or a previous node's output).  Returns a summary dict
+    {ir_version, opset, nodes, initializers, inputs, outputs}.  Raises
+    ``ValueError`` on the first violation.
+    """
+    m = _pb_fields(blob)
+    for field, name in ((1, "ir_version"), (7, "graph"), (8, "opset_import")):
+        if field not in m:
+            raise ValueError(f"ModelProto missing {name}")
+    ir = int(m[1][0])
+    opsets = [_pb_fields(o) for o in m[8]]
+    if not any(2 in o for o in opsets):
+        raise ValueError("opset_import missing version")
+    opset = int(opsets[0][2][0])
+
+    g = _pb_fields(m[7][0])
+    if 2 not in g or not g[2][0]:
+        raise ValueError("GraphProto missing name")
+    inputs = [_check_value_info(v, "graph input") for v in g.get(11, [])]
+    outputs = [_check_value_info(v, "graph output") for v in g.get(12, [])]
+    if not inputs or not outputs:
+        raise ValueError("graph must declare at least one input and output")
+
+    known = set(inputs)
+    inits = []
+    for t in g.get(5, []):
+        f = _pb_fields(t)
+        if 8 not in f:
+            raise ValueError("initializer missing name")
+        name = f[8][0].decode()
+        if 2 not in f:
+            raise ValueError(f"initializer {name!r} missing data_type")
+        dt = int(f[2][0])
+        if dt not in _DTYPE_SIZE:
+            raise ValueError(f"initializer {name!r}: unexpected dtype {dt}")
+        dims = [int(d) for d in f.get(1, [b""]) if not isinstance(d, bytes)]
+        if 1 in f and isinstance(f[1][0], bytes):   # packed repeated dims
+            dims = []
+            b = f[1][0]
+            i = 0
+            while i < len(b):
+                v = s = 0
+                while True:
+                    c = b[i]
+                    i += 1
+                    v |= (c & 0x7F) << s
+                    if not c & 0x80:
+                        break
+                    s += 7
+                dims.append(v)
+        if 9 not in f:
+            raise ValueError(f"initializer {name!r} missing raw_data")
+        n_elem = int(np.prod(dims)) if dims else 1
+        want = n_elem * _DTYPE_SIZE[dt]
+        if len(f[9][0]) != want:
+            raise ValueError(f"initializer {name!r}: raw_data {len(f[9][0])}B, "
+                             f"dims {dims} imply {want}B")
+        inits.append(name)
+        known.add(name)
+
+    produced = set()
+    nodes = []
+    for nb in g.get(1, []):
+        f = _pb_fields(nb)
+        if 4 not in f:
+            raise ValueError("NodeProto missing op_type")
+        op = f[4][0].decode()
+        node_inputs = [b.decode() for b in f.get(1, [])]
+        node_outputs = [b.decode() for b in f.get(2, [])]
+        if not node_outputs:
+            raise ValueError(f"{op} node with no outputs")
+        for i_name in node_inputs:
+            if i_name not in known:
+                raise ValueError(f"{op} node input {i_name!r} is not a graph "
+                                 "input, initializer, or prior output "
+                                 "(topological-order violation)")
+        for o_name in node_outputs:
+            if o_name in produced:
+                raise ValueError(f"duplicate node output {o_name!r}")
+            produced.add(o_name)
+            known.add(o_name)
+        nodes.append(op)
+    for o_name in outputs:
+        if o_name not in known:
+            raise ValueError(f"graph output {o_name!r} is never produced")
+    return {"ir_version": ir, "opset": opset, "nodes": len(nodes),
+            "initializers": len(inits), "inputs": inputs, "outputs": outputs}
