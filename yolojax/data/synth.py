@@ -14,7 +14,7 @@ import os
 
 import numpy as np
 
-__all__ = ["CLASSES", "generate_voc"]
+__all__ = ["CLASSES", "generate_voc", "generate_coco", "make_classes"]
 
 CLASSES = ["square", "circle", "triangle", "ring", "cross",
            "diamond", "hbar", "vbar"]
@@ -60,6 +60,78 @@ def _iou(a, b):
     return inter / max(ua, 1e-9)
 
 
+def make_classes(n: int) -> tuple[list[str], list[tuple]]:
+    """``n`` synthetic classes (names + base colors).
+
+    Beyond the 8 canonical shape classes, class ``i`` draws shape ``i % 8``
+    in a distinct hue from an evenly spaced wheel — so an 80-class COCO-style
+    dataset (BASELINE config 4) has learnable (shape, color) signatures.
+    """
+    import colorsys
+
+    if n <= len(CLASSES):
+        return CLASSES[:n], [_BASE_COLOR[c] for c in CLASSES[:n]]
+    names, colors = [], []
+    for i in range(n):
+        shape = CLASSES[i % len(CLASSES)]
+        names.append(f"{shape}_{i}" if i >= len(CLASSES) else shape)
+        if i < len(CLASSES):
+            colors.append(_BASE_COLOR[shape])
+        else:
+            r, g, b = colorsys.hsv_to_rgb((i * 0.61803) % 1.0,
+                                          0.6 + 0.4 * ((i // 13) % 2), 0.92)
+            colors.append((int(r * 255), int(g * 255), int(b * 255)))
+    return names, colors
+
+
+def _gen_image(rng, classes: list[str], colors: list[tuple],
+               occlusion_iou_cap: float):
+    """One synthetic image.  Returns (img RGB uint8, [(cls_idx, box)], h, w).
+
+    The rng call sequence for the 8 default classes is identical to the
+    original generate_voc loop, so VOC gate datasets are unchanged.
+    """
+    import cv2
+
+    h = int(rng.integers(330, 560)); w = int(rng.integers(330, 560))
+    img = rng.integers(20, 70, (h, w, 3)).astype(np.uint8)  # noisy bg
+    # low-contrast distractor blobs that belong to no class
+    for _ in range(int(rng.integers(0, 4))):
+        yy, xx = int(rng.integers(0, h)), int(rng.integers(0, w))
+        cv2.circle(img, (xx, yy), int(rng.integers(5, 18)),
+                   tuple(int(v) for v in rng.integers(50, 95, 3)), -1)
+    boxes, objs = [], []
+    n_obj = int(rng.integers(2, 7))
+    for _ in range(n_obj):
+        for _try in range(25):
+            ci = int(rng.integers(0, len(classes)))
+            shape = CLASSES[ci % len(CLASSES)]
+            if shape == "hbar":
+                hh = int(rng.integers(28, 70)); ww = int(rng.integers(90, 200))
+            elif shape == "vbar":
+                hh = int(rng.integers(90, 200)); ww = int(rng.integers(28, 70))
+            else:
+                hh = int(rng.integers(44, 170))
+                ww = int(hh * rng.uniform(0.8, 1.25))
+            if hh >= h - 2 or ww >= w - 2:
+                continue
+            y0 = int(rng.integers(1, h - hh)); x0 = int(rng.integers(1, w - ww))
+            box = (y0, x0, y0 + hh, x0 + ww)
+            # occlusion-heavy: overlap allowed, but cap pairwise IoU so
+            # the earlier (occluded) object stays recoverable
+            if all(_iou(box, b) < occlusion_iou_cap for b in boxes):
+                break
+        else:
+            continue
+        base = np.array(colors[ci], float)
+        color = tuple(int(np.clip(v, 0, 255))
+                      for v in base * rng.uniform(0.75, 1.15) + rng.normal(0, 10, 3))
+        _draw(img, shape, y0, x0, hh, ww, color)
+        boxes.append(box)
+        objs.append((ci, box))
+    return img, objs, h, w
+
+
 def generate_voc(root: str, n_images: int = 600, seed: int = 7,
                  occlusion_iou_cap: float = 0.45) -> str:
     """Write a VOC2007-layout synthetic dataset under root; returns its path.
@@ -74,51 +146,18 @@ def generate_voc(root: str, n_images: int = 600, seed: int = 7,
     rng = np.random.default_rng(seed)
     ids = []
     n_obj_total = 0
+    colors = [_BASE_COLOR[c] for c in CLASSES]
     for i in range(n_images):
-        h = int(rng.integers(330, 560)); w = int(rng.integers(330, 560))
-        img = rng.integers(20, 70, (h, w, 3)).astype(np.uint8)  # noisy bg
-        # low-contrast distractor blobs that belong to no class
-        for _ in range(int(rng.integers(0, 4))):
-            yy, xx = int(rng.integers(0, h)), int(rng.integers(0, w))
-            cv2.circle(img, (xx, yy), int(rng.integers(5, 18)),
-                       tuple(int(v) for v in rng.integers(50, 95, 3)), -1)
-        boxes, objs = [], []
-        n_obj = int(rng.integers(2, 7))
-        for _ in range(n_obj):
-            for _try in range(25):
-                cls = CLASSES[int(rng.integers(0, len(CLASSES)))]
-                if cls == "hbar":
-                    hh = int(rng.integers(28, 70)); ww = int(rng.integers(90, 200))
-                elif cls == "vbar":
-                    hh = int(rng.integers(90, 200)); ww = int(rng.integers(28, 70))
-                else:
-                    hh = int(rng.integers(44, 170))
-                    ww = int(hh * rng.uniform(0.8, 1.25))
-                if hh >= h - 2 or ww >= w - 2:
-                    continue
-                y0 = int(rng.integers(1, h - hh)); x0 = int(rng.integers(1, w - ww))
-                box = (y0, x0, y0 + hh, x0 + ww)
-                # occlusion-heavy: overlap allowed, but cap pairwise IoU so
-                # the earlier (occluded) object stays recoverable
-                if all(_iou(box, b) < occlusion_iou_cap for b in boxes):
-                    break
-            else:
-                continue
-            base = np.array(_BASE_COLOR[cls], float)
-            color = tuple(int(np.clip(v, 0, 255))
-                          for v in base * rng.uniform(0.75, 1.15) + rng.normal(0, 10, 3))
-            _draw(img, cls, y0, x0, hh, ww, color)
-            boxes.append(box)
-            objs.append((cls, box))
+        img, objs, h, w = _gen_image(rng, CLASSES, colors, occlusion_iou_cap)
         n_obj_total += len(objs)
         image_id = f"{i:06d}"
         ids.append(image_id)
         cv2.imwrite(os.path.join(voc, "JPEGImages", f"{image_id}.jpg"),
                     img[:, :, ::-1])
         parts = [f"<annotation><size><width>{w}</width><height>{h}</height></size>"]
-        for cls, (y0, x0, y1, x1) in objs:
+        for ci, (y0, x0, y1, x1) in objs:
             parts.append(
-                f"<object><name>{cls}</name><difficult>0</difficult>"
+                f"<object><name>{CLASSES[ci]}</name><difficult>0</difficult>"
                 f"<bndbox><xmin>{x0 + 1}</xmin><ymin>{y0 + 1}</ymin>"
                 f"<xmax>{x1}</xmax><ymax>{y1}</ymax></bndbox></object>")
         parts.append("</annotation>")
@@ -132,3 +171,64 @@ def generate_voc(root: str, n_images: int = 600, seed: int = 7,
     print(f"generated {n_images} images ({n_obj_total} objects, "
           f"{n_images - n_test} train / {n_test} test) in {voc}", flush=True)
     return voc
+
+
+def generate_coco(root: str, n_images: int = 600, seed: int = 7,
+                  occlusion_iou_cap: float = 0.45, num_classes: int = 80,
+                  crowd_frac: float = 0.04) -> str:
+    """Write a COCO-layout synthetic dataset under ``root``; returns its path.
+
+    Layout matches what data/coco.py parses (SURVEY.md §2.3, BASELINE
+    config 4): ``annotations/instances_{train,val}2017.json`` + images under
+    ``train2017/`` / ``val2017/``, pixel-xywh bboxes, non-contiguous category
+    ids (ids are ``3*i + 1`` to exercise the name-based remap), and
+    ``iscrowd=1`` on a ``crowd_frac`` fraction of annotations (mapped to the
+    ``difficult``/ignore flag by the parser and the COCO AP protocol).
+    """
+    import json
+
+    import cv2
+
+    classes, colors = make_classes(num_classes)
+    coco = os.path.join(root, "coco")
+    os.makedirs(os.path.join(coco, "annotations"), exist_ok=True)
+    n_val = min(max(50, n_images // 6), n_images // 2)
+    splits = {"train2017": range(n_images - n_val),
+              "val2017": range(n_images - n_val, n_images)}
+    rng = np.random.default_rng(seed)
+    n_obj_total = 0
+    for split, idxs in splits.items():
+        os.makedirs(os.path.join(coco, split), exist_ok=True)
+        images, annotations = [], []
+        ann_id = 1
+        for i in idxs:
+            img, objs, h, w = _gen_image(rng, classes, colors, occlusion_iou_cap)
+            file_name = f"{i:012d}.jpg"
+            cv2.imwrite(os.path.join(coco, split, file_name), img[:, :, ::-1])
+            images.append({"id": i, "file_name": file_name,
+                           "width": w, "height": h})
+            for ci, (y0, x0, y1, x1) in objs:
+                crowd = int(rng.uniform() < crowd_frac)
+                annotations.append({
+                    "id": ann_id, "image_id": i, "category_id": 3 * ci + 1,
+                    "bbox": [float(x0), float(y0), float(x1 - x0), float(y1 - y0)],
+                    "area": float((x1 - x0) * (y1 - y0)),
+                    "iscrowd": crowd,
+                })
+                ann_id += 1
+            n_obj_total += len(objs)
+        db = {
+            "info": {"description": "yolojax synthetic COCO"},
+            "images": images,
+            "annotations": annotations,
+            "categories": [{"id": 3 * ci + 1, "name": name,
+                            "supercategory": "shape"}
+                           for ci, name in enumerate(classes)],
+        }
+        with open(os.path.join(coco, "annotations",
+                               f"instances_{split}.json"), "w") as f:
+            json.dump(db, f)
+    print(f"generated {n_images} images ({n_obj_total} objects, "
+          f"{n_images - n_val} train / {n_val} val, {num_classes} classes) "
+          f"in {coco}", flush=True)
+    return coco
