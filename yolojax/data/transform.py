@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -125,6 +126,11 @@ class TrainAugment:
     saturation: float = 1.5
     exposure: float = 1.5
     flip_prob: float = 0.5
+    # pixel compute dtype: the resize is two dense matmuls per axis and HSV
+    # is ~6 elementwise passes — bf16 halves their HBM traffic and runs the
+    # MXU at full rate, and the model casts inputs to bf16 at conv1 anyway.
+    # Box geometry always stays f32.  (round-3 train-step optimization)
+    dtype: Any = jnp.bfloat16
 
     @classmethod
     def from_config(cls, config):
@@ -164,7 +170,8 @@ class TrainAugment:
         scale = s / crop_hw
         translation = -crop_origin * scale
         img = jax.image.scale_and_translate(
-            canvas.astype(jnp.float32) / 255.0, (out_size, out_size, 3), (0, 1),
+            canvas.astype(self.dtype) * jnp.asarray(1 / 255.0, self.dtype),
+            (out_size, out_size, 3), (0, 1),
             scale, translation, method="linear", antialias=True)
 
         # -- boxes: image-normalized → crop-normalized --
@@ -192,6 +199,9 @@ class TrainAugment:
             dh = jax.random.uniform(k_hue, (), minval=-self.hue, maxval=self.hue)
             ds = _rand_scale(k_sat, self.saturation)
             dv = _rand_scale(k_val, self.exposure)
+            # jitter scalars in the pixel dtype so the elementwise passes
+            # don't silently promote the whole image back to f32
+            dh, ds, dv = (v.astype(img.dtype) for v in (dh, ds, dv))
             hsv = rgb_to_hsv(jnp.clip(img, 0.0, 1.0))
             hsv = jnp.stack([(hsv[..., 0] + dh) % 1.0,
                              jnp.clip(hsv[..., 1] * ds, 0.0, 1.0),

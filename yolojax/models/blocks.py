@@ -166,6 +166,57 @@ def fold_bn(params: Params, state: Params, bn: BNConfig | None = None) -> Params
     }
 
 
+def _rw_max2x2(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+
+@jax.custom_vjp
+def _max_pool2x2(x):
+    """2×2/2 max pool with a mask-based backward — MEASURED NEGATIVE, not
+    routed (see max_pool below).
+
+    XLA's reduce_window gradient lowers to SelectAndScatter (pool1-bwd
+    12.5 ms vs ~4 ms traffic bound at B=128 — scripts/bwd_profile.py), so a
+    first-max mask backward looked promising; in-graph it is far WORSE
+    (train step 152.7 → 212.2 ms: TPU stride-2 slicing + stack/reshape
+    interleave relayouts dominate).  Kept with its bit-parity tests
+    (tests/test_pool_vjp.py) as the documented negative and tie-semantics
+    oracle; see scripts/pool_bwd_variants.py for the formulation sweep.
+    """
+    return _rw_max2x2(x)
+
+
+def _max_pool2x2_fwd(x):
+    y = _rw_max2x2(x)
+    return y, (x, y)
+
+
+def _max_pool2x2_bwd(res, g):
+    x, y = res
+    b, h, w, c = x.shape
+    q00 = x[:, 0::2, 0::2, :]
+    q01 = x[:, 0::2, 1::2, :]
+    q10 = x[:, 1::2, 0::2, :]
+    q11 = x[:, 1::2, 1::2, :]
+    m00 = q00 == y
+    m01 = (q01 == y) & ~m00
+    m10 = (q10 == y) & ~m00 & ~m01
+    m11 = ~m00 & ~m01 & ~m10
+    zero = jnp.zeros((), g.dtype)
+    d00 = jnp.where(m00, g, zero)
+    d01 = jnp.where(m01, g, zero)
+    d10 = jnp.where(m10, g, zero)
+    d11 = jnp.where(m11, g, zero)
+    # interleave quadrants back: stack along a new minor axis then reshape
+    row0 = jnp.stack([d00, d01], axis=3).reshape(b, h // 2, w, c)
+    row1 = jnp.stack([d10, d11], axis=3).reshape(b, h // 2, w, c)
+    return (jnp.stack([row0, row1], axis=2).reshape(b, h, w, c),)
+
+
+_max_pool2x2.defvjp(_max_pool2x2_fwd, _max_pool2x2_bwd)
+
+
 def max_pool(x, size: int = 2, stride: int | None = None):
     """Max pooling with darknet semantics (SAME padding for the stride-1 tail
     pool in Tiny-Darknet, VALID otherwise)."""
