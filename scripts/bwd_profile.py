@@ -27,6 +27,7 @@ B = 128
 
 
 def time_fn(fn, *args, iters=6):
+    """fn must be a stable jitted callable (compile once, reuse)."""
     out = fn(*args)
     float(out)
     t0 = time.perf_counter()
@@ -35,8 +36,8 @@ def time_fn(fn, *args, iters=6):
     return (time.perf_counter() - t0) / iters / REPEAT * 1e3  # ms
 
 
-def scan_fwd(f, x, *rest):
-    """Scan-repeat f(x, *rest), carry a scalar folded into x."""
+def make_scan_fwd(f, n_rest):
+    """Jitted scan-repeat of f(x, *rest); one compile per (f, shapes)."""
     @jax.jit
     def run(x, *rest):
         def body(acc, _):
@@ -44,23 +45,23 @@ def scan_fwd(f, x, *rest):
             return jnp.sum(y, dtype=jnp.float32) * 1e-12, None
         acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=REPEAT)
         return acc
-    return run(x, *rest)
+    return run
 
 
-def scan_vjp(f, x, *rest):
-    """Scan-repeat value+grad wrt ALL args of sum(f(...))."""
+def make_scan_vjp(f, n_rest):
+    """Jitted scan-repeat of value+grad wrt ALL args of sum(f(...))."""
     @jax.jit
     def run(x, *rest):
         def body(acc, _):
             def lf(x, *rest):
                 return jnp.sum(f(x, *rest), dtype=jnp.float32) * 1e-12
-            val, grads = jax.value_and_grad(lf, argnums=tuple(range(1 + len(rest))))(
+            val, grads = jax.value_and_grad(lf, argnums=tuple(range(1 + n_rest)))(
                 x + (acc * 1e-20).astype(x.dtype), *rest)
             gsum = sum(jnp.sum(g, dtype=jnp.float32) for g in grads)
             return val + gsum * 1e-12, None
         acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=REPEAT)
         return acc
-    return run(x, *rest)
+    return run
 
 
 def conv_block(x, w, gamma, beta):
@@ -102,41 +103,56 @@ CONVS = [
 POOLS = [(416, 32), (208, 64), (104, 128), (52, 256), (26, 512)]
 
 
+BLOCK_SUBSET = {(416, 3, 32, 3), (104, 64, 128, 3), (26, 256, 512, 3),
+                (13, 512, 1024, 3), (13, 1024, 1024, 3), (13, 1024, 512, 1)}
+
+
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pools", action="store_true",
+                    help="also sweep pool formulations (first run recorded "
+                    "rw bwd 12.49/6.25 ms at 416²x32 / 208²x64)")
+    args = ap.parse_args()
+
     rng = np.random.default_rng(0)
     dt = jnp.bfloat16
 
-    print(f"== pools (B={B}, bf16): reduce_window vs reshape-max ==", flush=True)
-    tot_rw_f = tot_rw_b = tot_rs_f = tot_rs_b = 0.0
-    for size, ch in POOLS:
-        x = jax.device_put(rng.uniform(-1, 1, (B, size, size, ch)).astype(np.float32)).astype(dt)
-        f_rw = time_fn(lambda x: scan_fwd(pool_rw, x), x)
-        v_rw = time_fn(lambda x: scan_vjp(pool_rw, x), x)
-        f_rs = time_fn(lambda x: scan_fwd(pool_reshape, x), x)
-        v_rs = time_fn(lambda x: scan_vjp(pool_reshape, x), x)
-        tot_rw_f += f_rw; tot_rw_b += v_rw - f_rw
-        tot_rs_f += f_rs; tot_rs_b += v_rs - f_rs
-        print(f"pool {size:4d}²×{ch:4d}: rw fwd {f_rw:6.2f} bwd {v_rw - f_rw:6.2f} | "
-              f"reshape fwd {f_rs:6.2f} bwd {v_rs - f_rs:6.2f} ms", flush=True)
-    print(f"TOTAL pools: rw fwd {tot_rw_f:.2f} bwd {tot_rw_b:.2f} | "
-          f"reshape fwd {tot_rs_f:.2f} bwd {tot_rs_b:.2f} ms", flush=True)
+    if args.pools:
+        fwd_rw, vjp_rw = make_scan_fwd(pool_rw, 0), make_scan_vjp(pool_rw, 0)
+        fwd_rs, vjp_rs = make_scan_fwd(pool_reshape, 0), make_scan_vjp(pool_reshape, 0)
+        print(f"== pools (B={B}, bf16): reduce_window vs reshape-max ==", flush=True)
+        for size, ch in POOLS:
+            x = jax.device_put(rng.uniform(-1, 1, (B, size, size, ch)).astype(np.float32)).astype(dt)
+            f_rw = time_fn(fwd_rw, x)
+            v_rw = time_fn(vjp_rw, x)
+            f_rs = time_fn(fwd_rs, x)
+            v_rs = time_fn(vjp_rs, x)
+            print(f"pool {size:4d}²×{ch:4d}: rw fwd {f_rw:6.2f} bwd {v_rw - f_rw:6.2f} | "
+                  f"reshape fwd {f_rs:6.2f} bwd {v_rs - f_rs:6.2f} ms", flush=True)
 
-    print(f"\n== conv blocks (B={B}, bf16 in/out, f32 BN params) ==", flush=True)
-    tot_f = tot_b = tot_cf = tot_cb = 0.0
+    fwd_blk, vjp_blk = make_scan_fwd(conv_block, 3), make_scan_vjp(conv_block, 3)
+    fwd_c, vjp_c = make_scan_fwd(conv_only, 1), make_scan_vjp(conv_only, 1)
+
+    print(f"\n== convs (B={B}, bf16; block = +BN+leaky, subset only) ==", flush=True)
+    tot_cf = tot_cb = 0.0
     for size, cin, cout, k in CONVS:
         x = jax.device_put(rng.uniform(-1, 1, (B, size, size, cin)).astype(np.float32)).astype(dt)
         w = jax.device_put((rng.normal(0, 0.05, (k, k, cin, cout))).astype(np.float32)).astype(dt)
-        gamma = jnp.ones((cout,), jnp.float32)
-        beta = jnp.zeros((cout,), jnp.float32)
-        f = time_fn(lambda x, w, g, b: scan_fwd(conv_block, x, w, g, b), x, w, gamma, beta)
-        v = time_fn(lambda x, w, g, b: scan_vjp(conv_block, x, w, g, b), x, w, gamma, beta)
-        cf = time_fn(lambda x, w: scan_fwd(conv_only, x, w), x, w)
-        cv = time_fn(lambda x, w: scan_vjp(conv_only, x, w), x, w)
-        tot_f += f; tot_b += v - f; tot_cf += cf; tot_cb += cv - cf
-        print(f"{size:4d}²×{cin:4d}→{cout:4d} k{k}: block fwd {f:6.2f} bwd {v - f:6.2f} | "
-              f"conv fwd {cf:6.2f} bwd {cv - cf:6.2f} ms", flush=True)
-    print(f"TOTAL convs: block fwd {tot_f:.2f} bwd {tot_b:.2f} | "
-          f"conv-only fwd {tot_cf:.2f} bwd {tot_cb:.2f} ms", flush=True)
+        cf = time_fn(fwd_c, x, w)
+        cv = time_fn(vjp_c, x, w)
+        tot_cf += cf; tot_cb += cv - cf
+        extra = ""
+        if (size, cin, cout, k) in BLOCK_SUBSET:
+            gamma = jnp.ones((cout,), jnp.float32)
+            beta = jnp.zeros((cout,), jnp.float32)
+            f = time_fn(fwd_blk, x, w, gamma, beta)
+            v = time_fn(vjp_blk, x, w, gamma, beta)
+            extra = f" | block fwd {f:6.2f} bwd {v - f:6.2f}"
+        print(f"{size:4d}²×{cin:4d}→{cout:4d} k{k}: conv fwd {cf:6.2f} "
+              f"bwd {cv - cf:6.2f}{extra} ms", flush=True)
+    print(f"TOTAL conv-only: fwd {tot_cf:.2f} bwd {tot_cb:.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

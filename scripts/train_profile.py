@@ -137,22 +137,32 @@ def main():
         return acc
 
     # ---- stage 6: full production fused step
-    def s6_run(params, state, opt_state, b, seen, key):
-        def body(carry, i):
-            params, opt_state, acc = carry
-            k = jax.random.fold_in(key, i + (acc.astype(jnp.int32) & 0))
-            img, ymin, ymax, valid = aug(k, b["canvas"], b["hw"], b["yx_min"],
-                                         b["yx_max"], b["valid"], size)
-            bb = {"yx_min": ymin, "yx_max": ymax, "cls": b["cls"], "valid": valid}
-            (total, _), grads = jax.value_and_grad(loss_of, has_aux=True)(
-                params, state, img, bb, seen)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state, acc + total * 1e-6), None
-        (params, opt_state, acc), _ = jax.lax.scan(
-            body, (params, opt_state, jnp.float32(0)),
-            jnp.arange(REPEAT), length=REPEAT)
-        return acc
+    def make_s6(barrier: bool):
+        def s6_run(params, state, opt_state, b, seen, key):
+            def body(carry, i):
+                params, opt_state, acc = carry
+                k = jax.random.fold_in(key, i + (acc.astype(jnp.int32) & 0))
+                img, ymin, ymax, valid = aug(k, b["canvas"], b["hw"], b["yx_min"],
+                                             b["yx_max"], b["valid"], size)
+                if barrier:
+                    # force the augment output to materialize before the
+                    # fwd/bwd so XLA cannot interleave/remat it into the
+                    # backward (suspect for the 17 ms in-step augment cost
+                    # vs 6 ms standalone)
+                    img, ymin, ymax, valid = jax.lax.optimization_barrier(
+                        (img, ymin, ymax, valid))
+                bb = {"yx_min": ymin, "yx_max": ymax, "cls": b["cls"],
+                      "valid": valid}
+                (total, _), grads = jax.value_and_grad(loss_of, has_aux=True)(
+                    params, state, img, bb, seen)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, acc + total * 1e-6), None
+            (params, opt_state, acc), _ = jax.lax.scan(
+                body, (params, opt_state, jnp.float32(0)),
+                jnp.arange(REPEAT), length=REPEAT)
+            return acc
+        return s6_run
 
     results = {}
     t = time_fn(scan(s1), b, key) * 1e3
@@ -170,9 +180,12 @@ def main():
     t = time_fn(jax.jit(s5_run), params, state, opt_state, images_f32, b, seen) * 1e3
     results["step_noaug"] = t
     print(f"s5 +update          {t:7.2f} ms  {batch/t*1e3:7.0f} img/s", flush=True)
-    t = time_fn(jax.jit(s6_run), params, state, opt_state, b, seen, key) * 1e3
+    t = time_fn(jax.jit(make_s6(False)), params, state, opt_state, b, seen, key) * 1e3
     results["step_full"] = t
     print(f"s6 full fused step  {t:7.2f} ms  {batch/t*1e3:7.0f} img/s", flush=True)
+    t = time_fn(jax.jit(make_s6(True)), params, state, opt_state, b, seen, key) * 1e3
+    results["step_barrier"] = t
+    print(f"s6b step w/barrier  {t:7.2f} ms  {batch/t*1e3:7.0f} img/s", flush=True)
 
     print(f"\ndeltas: loss {results['fwd_loss']-results['fwd']:.2f}  "
           f"backward {results['fwd_loss_grad']-results['fwd_loss']:.2f}  "
