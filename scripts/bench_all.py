@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Emit the per-backbone / per-mode benchmark artifacts for the round
+(VERDICT r2 #6: make MobileNet/Tiny perf driver-durable, not DEVNOTES prose).
+
+Runs bench.py in subprocesses (one TPU process at a time — the chip is
+exclusive) with the BENCH_MODEL / BENCH_MODE switches and records each JSON
+line as BENCH_<TAG>_r<N>.json at the repo root, alongside the driver's own
+BENCH_r<N>.json.
+
+    python scripts/bench_all.py --round 03 [--skip e2e]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+JOBS = [
+    # artifact tag, env overrides
+    ("MOBILENET", {"BENCH_MODEL": "mobilenet"}),
+    ("TINY", {"BENCH_MODEL": "tiny"}),
+    ("TRAIN", {"BENCH_MODE": "train"}),
+    ("E2E", {"BENCH_MODE": "e2e", "BENCH_BATCH": "32", "BENCH_ITERS": "10"}),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", required=True, help="round number, e.g. 03")
+    ap.add_argument("--skip", nargs="*", default=[], help="tags to skip")
+    args = ap.parse_args()
+
+    for tag, env_over in JOBS:
+        if tag.lower() in [s.lower() for s in args.skip]:
+            print(f"{tag}: skipped", flush=True)
+            continue
+        env = dict(os.environ, **env_over)
+        print(f"{tag}: running bench.py with {env_over} ...", flush=True)
+        proc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                              capture_output=True, text=True, env=env,
+                              timeout=3600)
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            print(f"{tag}: FAILED\nstdout: {proc.stdout[-2000:]}\n"
+                  f"stderr: {proc.stderr[-2000:]}", flush=True)
+            continue
+        path = os.path.join(REPO, f"BENCH_{tag}_r{args.round}.json")
+        with open(path, "w") as f:
+            json.dump(rec, f)
+            f.write("\n")
+        print(f"{tag}: {line} -> {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
