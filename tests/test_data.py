@@ -90,6 +90,28 @@ def synthetic_dataset(n=4, canvas=64, max_boxes=5, img_hw=(40, 48)):
     return ds, images
 
 
+def test_synth_coco_roundtrips_through_parser(tmp_path):
+    """generate_coco output parses through data/coco.py with correct boxes,
+    class remap (non-contiguous ids), and iscrowd → difficult mapping."""
+    from yolojax.data.synth import generate_coco, make_classes
+
+    classes, colors = make_classes(20)
+    assert len(classes) == len(set(classes)) == 20
+    assert len(colors) == 20
+    root = generate_coco(str(tmp_path), n_images=6, num_classes=20,
+                         crowd_frac=1.0)  # every annotation iscrowd
+    for split, n in (("train2017", 3), ("val2017", 3)):
+        path = os.path.join(root, "annotations", f"instances_{split}.json")
+        recs = coco_mod.parse_instances(path, root, classes)
+        assert 1 <= len(recs) <= n
+        for r in recs:
+            assert os.path.exists(r["path"])
+            assert (r["yx_min"] >= 0).all() and (r["yx_max"] <= 1).all()
+            assert (r["yx_max"] > r["yx_min"]).all()
+            assert r["cls"].min() >= 0 and r["cls"].max() < 20
+            assert r["difficult"].all()  # crowd_frac=1 → all flagged
+
+
 def test_dataset_canvas_packing_and_padding():
     ds, images = synthetic_dataset()
     item = ds.load(0)
