@@ -110,6 +110,10 @@ def main():
     ap.add_argument("--min-416", type=float, default=0.88)
     ap.add_argument("--min-544-608", type=float, default=0.90)
     ap.add_argument("--min-320", type=float, default=0.80)
+    ap.add_argument("--max-small-drop", type=float, default=0.125,
+                    help="relative 320-vs-best drop bound; the paper's own "
+                         "drop is 12.2%% at full budget — reduced-step runs "
+                         "converge small sizes last and need a looser bound")
     ap.add_argument("--out", default=None,
                     help="artifact name (default SYNTH_GATE[_MODEL][_FMT].json)")
     ap.add_argument("--skip-train", action="store_true",
@@ -177,7 +181,7 @@ def main():
           and results["stretch_544"] >= args.min_544_608
           and results["stretch_608"] >= args.min_544_608
           and results["stretch_320"] >= args.min_320
-          and lb_delta <= 0.06 and small_drop <= 0.125)
+          and lb_delta <= 0.06 and small_drop <= args.max_small_drop)
     out = {
         "dataset": {"images": args.images, "classes": len(CLASSES),
                     "format": args.format, "occlusion_iou_cap": 0.45,
@@ -196,7 +200,7 @@ def main():
                      # paper Table 3's own small-size drop is 12.2% (69.0
                      # @288 vs 78.6 @544) — size-dependence is reference
                      # behavior, not a pipeline defect
-                     "max_small_size_drop": 0.125},
+                     "max_small_size_drop": args.max_small_drop},
         # threshold audit trail (ADVICE r2 #4): round-1 gate was
         # {min_map_416: 0.90, absolute spread <= 0.06, no 320 floor}; the
         # round-2 change (landed alongside fusedpost-by-default) relaxed 416
