@@ -31,6 +31,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -118,6 +119,9 @@ def main():
                     help="artifact name (default SYNTH_GATE[_MODEL][_FMT].json)")
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse the latest checkpoint, just re-run the evals")
+    ap.add_argument("--resume", action="store_true",
+                    help="pass -r to the train CLI (continue an interrupted "
+                         "gate from its latest checkpoint)")
     args = ap.parse_args()
     if args.out is None:
         tag = ""
@@ -132,7 +136,6 @@ def main():
     from yolojax.cli.common import build, load_weights_auto
     from yolojax.cli.estimate import main as estimate_main
     from yolojax.cli.eval import run_eval
-    from yolojax.cli.train import main as train_main
     from yolojax.data.cache import load_cache
 
     root = args.root
@@ -153,7 +156,15 @@ def main():
     assert estimate_main(cfg + ["-k", "5", "-o",
                                 os.path.join(root, "anchors.tsv")]) == 0
     if not args.skip_train:
-        assert train_main(cfg + ["--steps", str(args.steps)]) == 0
+        # Run train as the REAL CLI subprocess, not in-process: the RSS
+        # watchdog self-heals (checkpoint + exec-restart) only when it owns
+        # argv — in-process it can only warn, and a 6k-step run through the
+        # axon tunnel leak WILL cross the host-memory limit (DEVNOTES).
+        train_argv = [sys.executable, os.path.join(REPO, "train.py"),
+                      *cfg, "--steps", str(args.steps)]
+        if args.resume:
+            train_argv.append("-r")
+        subprocess.run(train_argv, check=True)
     train_s = time.time() - t0
 
     # eval grid: sizes x resize modes, one process, run_eval directly

@@ -16,6 +16,7 @@ import pickle
 import socket
 import subprocess
 import sys
+import time
 
 import numpy as np
 import pytest
@@ -131,10 +132,21 @@ def test_two_process_pod_matches_single_process(tmp_path):
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
         for pid in range(2)
     ]
+    # One shared deadline for the pod; generous because this host is a single
+    # core that may concurrently run a TPU job's host side.  Always reap the
+    # workers — a TimeoutExpired must not leak two live jax processes into
+    # the rest of the suite.
+    deadline = time.monotonic() + 1800
     logs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        logs.append(out.decode())
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=max(1.0, deadline - time.monotonic()))
+            logs.append(out.decode())
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     for pid, (p, log) in enumerate(zip(procs, logs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{log}"
 

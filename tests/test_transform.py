@@ -152,6 +152,8 @@ def test_train_augment_from_config():
     config.set("transform", "train",
                "yolojax.data.transform.RandomCrop yolojax.data.transform.HSVJitter")
     config.set("transform", "jitter", "0.3")
+    config.set("transform", "antialias", "0")
     aug = TrainAugment.from_config(config)
     assert aug.crop and aug.hsv and not aug.flip
     assert aug.jitter == 0.3
+    assert aug.antialias is False

@@ -131,6 +131,10 @@ class TrainAugment:
     # MXU at full rate, and the model casts inputs to bf16 at conv1 anyway.
     # Box geometry always stays f32.  (round-3 train-step optimization)
     dtype: Any = jnp.bfloat16
+    # darknet's own resize (cv2-style bilinear) has NO antialias prefilter;
+    # True widens the kernel support on downscale (costlier weight matrices).
+    # Measured in scripts/augment_profile.py.
+    antialias: bool = True
 
     @classmethod
     def from_config(cls, config):
@@ -144,6 +148,7 @@ class TrainAugment:
             hue=config.getfloat("transform", "hue", fallback=0.1),
             saturation=config.getfloat("transform", "saturation", fallback=1.5),
             exposure=config.getfloat("transform", "exposure", fallback=1.5),
+            antialias=config.getboolean("transform", "antialias", fallback=True),
         )
 
     def _one(self, key, canvas, hw, yx_min, yx_max, valid, out_size: int):
@@ -172,7 +177,7 @@ class TrainAugment:
         img = jax.image.scale_and_translate(
             canvas.astype(self.dtype) * jnp.asarray(1 / 255.0, self.dtype),
             (out_size, out_size, 3), (0, 1),
-            scale, translation, method="linear", antialias=True)
+            scale, translation, method="linear", antialias=self.antialias)
 
         # -- boxes: image-normalized → crop-normalized --
         img_px_min = yx_min * hw
