@@ -148,7 +148,14 @@ def main():
     overlay = write_overlay(root, data_root, args.steps,
                             fmt=args.format, model=args.model)
     base = os.path.join(REPO, "config.ini")
-    cfg = ["-c", base, overlay]
+    cfg = ["-c", base]
+    # stack the backbone's shipped overlay (its own optimizer recipe —
+    # MobileNet trains with adam, see config/mobilenet.ini) under the gate
+    # overlay, which still wins for name/anchors/schedule keys it sets
+    model_ini = os.path.join(REPO, "config", f"{args.model}.ini")
+    if args.model != "darknet" and os.path.exists(model_ini):
+        cfg.append(model_ini)
+    cfg.append(overlay)
 
     t0 = time.time()
     assert cache_main(cfg) == 0

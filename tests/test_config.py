@@ -40,6 +40,9 @@ def test_mobilenet_overlay():
     config = load_config([default_config_path(), os.path.join(ROOT, "config/mobilenet.ini")])
     model = build_model(config, np.ones((5, 2), np.float32), 20)
     assert type(model).__name__ == "MobileNet"
+    # the overlay ships MobileNet's own recipe: sgd+global-clip starves the
+    # head of a 27-conv no-residual stack (DEVNOTES round-3 convergence note)
+    assert config.get("train", "optimizer").endswith(".adam")
 
 
 def test_tiny_overlay():
