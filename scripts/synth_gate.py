@@ -205,8 +205,11 @@ def main():
                     "format": args.format, "occlusion_iou_cap": 0.45,
                     "objects_per_image": "2-6"},
         "train": {"model": args.model, "steps": args.steps,
-                  "recipe": "production config.ini "
-                  "(sgd+momentum+wd, multi-scale 320..608, warmup, bf16)",
+                  "recipe": "production config.ini"
+                  + (f" + config/{args.model}.ini" if args.model != "darknet"
+                     else "")
+                  + " (multi-scale 320..608, warmup, bf16; optimizer per "
+                    "overlay — darknet/tiny sgd+momentum+wd, mobilenet adam)",
                   "wall_s": round(train_s, 1), "step": int(meta.get("step", 0) or 0)},
         "map": results,
         "stretch_spread_across_sizes": round(spread, 4),
