@@ -46,7 +46,11 @@ def make_batch(rng):
 
 
 def time_aug(aug: TrainAugment, batch, iters=8):
-    canvas, hw, ymin, ymax, valid = batch
+    # device_put ONCE: passing host numpy re-transfers the 173 MB canvas
+    # through the 0.03 GB/s tunnel on every dispatch and the "augment"
+    # timing becomes a transfer benchmark (first run of this script did
+    # exactly that — every row ≈ 1.3 s/batch ≈ the 5 s transfer / REPEAT)
+    canvas, hw, ymin, ymax, valid = (jax.device_put(a) for a in batch)
 
     @jax.jit
     def run(key, canvas, hw, ymin, ymax, valid):
