@@ -120,7 +120,17 @@ def bench_train(batch: int, iters: int) -> float:
     from yolojax.ops.loss import LossConfig
     from yolojax.parallel.mesh import make_train_step
 
-    model = _flagship()
+    # BENCH_MODEL=darknet|tiny|mobilenet selects the backbone (same head),
+    # mirroring bench_infer, so train throughput is per-backbone durable too
+    which = os.environ.get("BENCH_MODEL", "darknet")
+    if which == "mobilenet":
+        from yolojax.models.mobilenet import MobileNet
+
+        flag = _flagship()
+        model = MobileNet(anchors=flag.anchors, num_classes=flag.num_classes,
+                          dtype=flag.dtype, pallas=flag.pallas)
+    else:
+        model = _flagship(tiny=which == "tiny")
     params, state = model.init(jax.random.PRNGKey(0))
     optimizer = optax.chain(optax.clip_by_global_norm(5.0),
                             optax.sgd(1e-3, momentum=0.9))

@@ -25,6 +25,8 @@ JOBS = [
     ("MOBILENET", {"BENCH_MODEL": "mobilenet"}),
     ("TINY", {"BENCH_MODEL": "tiny"}),
     ("TRAIN", {"BENCH_MODE": "train"}),
+    ("MOBILENET_TRAIN", {"BENCH_MODE": "train", "BENCH_MODEL": "mobilenet"}),
+    ("TINY_TRAIN", {"BENCH_MODE": "train", "BENCH_MODEL": "tiny"}),
     ("E2E", {"BENCH_MODE": "e2e", "BENCH_BATCH": "32", "BENCH_ITERS": "10"}),
 ]
 
