@@ -45,7 +45,9 @@ def time_fn(fn, *args, iters=8):
 
 
 def main():
+    # usage: train_profile.py [BATCH] [darknet|tiny|mobilenet]
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    which = sys.argv[2] if len(sys.argv) > 2 else "darknet"
     size, canvas, g = 416, 672, 30
 
     from __graft_entry__ import _flagship
@@ -53,7 +55,14 @@ def main():
     from yolojax.ops.loss import LossConfig, region_loss
     from yolojax.parallel.mesh import loss_weights_from_config
 
-    model = _flagship()
+    if which == "mobilenet":
+        from yolojax.models.mobilenet import MobileNet
+
+        flag = _flagship()
+        model = MobileNet(anchors=flag.anchors, num_classes=flag.num_classes,
+                          dtype=flag.dtype, pallas=flag.pallas)
+    else:
+        model = _flagship(tiny=which == "tiny")
     params, state = model.init(jax.random.PRNGKey(0))
     anchors = jnp.asarray(model.anchors)
     aug = TrainAugment()
