@@ -206,8 +206,8 @@ def test_coco_npos_zero_class_excluded_even_with_fps():
 
 
 def test_coco_max_dets_cap_per_image():
-    """pycocotools maxDets=100: only each image's top-100 dets across classes
-    enter the PR curve (ADVICE r2, low)."""
+    """pycocotools maxDets=100: COCOeval.evaluateImg truncates each
+    (image, category) det list to the top-100 by score (ADVICE r2, low)."""
     from yolojax.eval_ap import evaluate_coco
 
     rec = DetectionRecorder(1)
@@ -224,6 +224,28 @@ def test_coco_max_dets_cap_per_image():
     np.testing.assert_allclose(res["map"], 0.0)
     res_uncapped = evaluate_coco(rec, iou_thresholds=[0.5], max_dets=1000)
     assert res_uncapped["map"] > 0.0
+
+
+def test_coco_max_dets_cap_is_per_category():
+    """The cap is per (image, category), NOT per image across classes: a
+    class's sole TP survives 100 higher-confidence dets of ANOTHER class in
+    the same image (pycocotools evaluateImg truncates dt per imgId,catId)."""
+    from yolojax.eval_ap import evaluate_coco
+
+    rec = DetectionRecorder(2)
+    gmin, gmax = _box(0.0, 0.0)
+    rec.add_ground_truth("i", gmin, gmax, np.asarray([1]), np.asarray([False]))
+    # class 1's TP at low confidence
+    rec.add_detections("i", gmin, gmax, np.asarray([0.01]), np.asarray([1]))
+    # 100 class-0 dets at higher confidence in the same image (all FPs for
+    # class 0, which has no gt anywhere → class 0 excluded from the mean)
+    far = _box(0.7, 0.7, 0.05, 0.05)
+    for k in range(100):
+        rec.add_detections("i", far[0], far[1],
+                           np.asarray([0.5 + k * 1e-3]), np.asarray([0]))
+    res = evaluate_coco(rec, iou_thresholds=[0.5])
+    # an across-class cap would evict the class-1 TP (rank 101) → AP 0
+    np.testing.assert_allclose(res["map"], 1.0)
 
 
 def test_coco_ap_averages_over_iou_thresholds():

@@ -325,6 +325,34 @@ def test_onnx_structural_checker_accepts_and_rejects():
     # an empty model is rejected for missing required fields
     with pytest.raises(ValueError, match="ModelProto missing"):
         check_model(b"")
+    # EVERY truncation point raises ValueError, never IndexError (mid-varint,
+    # mid-fixed, mid-LEN — the contract is "ValueError on the first violation")
+    for cut in range(1, min(len(blob), 64)):
+        with pytest.raises(ValueError):
+            check_model(blob[:-cut])
+
+
+def test_onnx_checker_opset_domain_handling():
+    """The reported opset must come from the default-domain opset_import
+    entry, and any entry without a version is rejected."""
+    from yolojax.tools.onnx_export import (_f_bytes, _f_str, _f_varint,
+                                           check_model)
+
+    blob = _deterministic_blob()
+    # locate + strip the trailing opset_import field this emitter writes last
+    base = blob[:blob.rindex(b"\x42")]  # field 8, wire 2 key byte
+    custom = _f_str(1, "com.custom") + _f_varint(2, 99)
+    default = _f_str(1, "") + _f_varint(2, 11)
+    # custom-domain entry FIRST: the checker must still report the default's 11
+    info = check_model(base + _f_bytes(8, custom) + _f_bytes(8, default))
+    assert info["opset"] == 11
+    # a version-less custom entry is rejected even when the default is fine
+    with pytest.raises(ValueError, match="missing version"):
+        check_model(base + _f_bytes(8, _f_str(1, "com.custom"))
+                    + _f_bytes(8, default))
+    # no default-domain entry at all is rejected
+    with pytest.raises(ValueError, match="default-domain"):
+        check_model(base + _f_bytes(8, custom))
 
 
 def test_onnx_real_package_validation():

@@ -204,17 +204,21 @@ def _class_ap_coco(dets: list, gts: dict, cls: int, iou_threshold: float) -> flo
 
 
 def _cap_dets_per_image(dets_by_class: dict, max_dets: int) -> dict:
-    """pycocotools ``maxDets``: keep only each image's top-``max_dets``
-    detections by confidence across all classes before building PR curves."""
-    per_image: dict = defaultdict(list)
+    """pycocotools ``maxDets``: ``COCOeval.evaluateImg`` truncates each
+    *(image, category)* detection list to the top-``max_dets`` by confidence
+    (with the default ``useCats=1`` the cap is per category, NOT the popular
+    "100 per image across classes" reading — that is a detector-side export
+    convention, not what the evaluator computes)."""
+    keep: dict = {}
     for c, dets in dets_by_class.items():
+        per_image: dict = defaultdict(list)
         for d in dets:
-            per_image[d[0]].append((d[1], c, d))
-    keep: dict = defaultdict(list)
-    for img, rows in per_image.items():
-        rows.sort(key=lambda r: -r[0])
-        for _conf, c, d in rows[:max_dets]:
-            keep[c].append(d)
+            per_image[d[0]].append(d)
+        rows_out = []
+        for rows in per_image.values():
+            rows.sort(key=lambda r: -r[1])
+            rows_out.extend(rows[:max_dets])
+        keep[c] = rows_out
     return keep
 
 
@@ -222,9 +226,9 @@ def evaluate_coco(recorder: DetectionRecorder,
                   iou_thresholds=None, max_dets: int = 100) -> dict:
     """COCO protocol: AP averaged over IoU ∈ {0.5, 0.55, …, 0.95} with
     101-point interpolation (BASELINE.md's "COCO test-dev AP@[.5:.95]").
-    Detections are capped at ``max_dets`` per image across classes
-    (pycocotools default 100). Returns ``map`` (the headline AP), plus
-    ``map_50``/``map_75`` and the per-threshold per-class table."""
+    Detections are capped at ``max_dets`` per (image, class) — pycocotools'
+    ``evaluateImg`` truncation, default 100. Returns ``map`` (the headline
+    AP), plus ``map_50``/``map_75`` and the per-threshold per-class table."""
     if iou_thresholds is None:
         iou_thresholds = np.arange(10) * 0.05 + 0.5
     dets_by_class = _cap_dets_per_image(recorder.dets, max_dets)

@@ -304,48 +304,42 @@ def export_onnx(model, folded, anchors, size: int, batch: int = 1,
 # ------------------------------------------------------ structural checker --
 
 
+def _read_varint(buf: bytes, i: int) -> tuple:
+    v = s = 0
+    while True:
+        if i >= len(buf):
+            raise ValueError("truncated varint")
+        b = buf[i]
+        i += 1
+        v |= (b & 0x7F) << s
+        if not b & 0x80:
+            return v, i
+        s += 7
+
+
 def _pb_fields(buf: bytes) -> dict:
-    """Wire-format decode: {field: [value, ...]} (varint→int, LEN→bytes)."""
+    """Wire-format decode: {field: [value, ...]} (varint→int, LEN→bytes).
+    Raises ``ValueError`` on any truncation (a blob cut mid-varint or inside
+    a fixed32/fixed64/LEN payload), never IndexError."""
     out: dict = {}
     i = 0
     while i < len(buf):
-        key = s = 0
-        while True:
-            b = buf[i]
-            i += 1
-            key |= (b & 0x7F) << s
-            if not b & 0x80:
-                break
-            s += 7
+        key, i = _read_varint(buf, i)
         field, wire = key >> 3, key & 7
         if wire == 0:
-            v = s = 0
-            while True:
-                b = buf[i]
-                i += 1
-                v |= (b & 0x7F) << s
-                if not b & 0x80:
-                    break
-                s += 7
+            v, i = _read_varint(buf, i)
         elif wire == 2:
-            n = s = 0
-            while True:
-                b = buf[i]
-                i += 1
-                n |= (b & 0x7F) << s
-                if not b & 0x80:
-                    break
-                s += 7
-            v = bytes(buf[i:i + n])
-            if len(v) != n:
+            n, i = _read_varint(buf, i)
+            if i + n > len(buf):
                 raise ValueError("truncated LEN field")
+            v = bytes(buf[i:i + n])
             i += n
-        elif wire == 5:
-            v = bytes(buf[i:i + 4])
-            i += 4
-        elif wire == 1:
-            v = bytes(buf[i:i + 8])
-            i += 8
+        elif wire in (5, 1):
+            n = 4 if wire == 5 else 8
+            if i + n > len(buf):
+                raise ValueError(f"truncated fixed{n * 8} field")
+            v = bytes(buf[i:i + n])
+            i += n
         else:
             raise ValueError(f"unsupported wire type {wire}")
         out.setdefault(field, []).append(v)
@@ -394,10 +388,15 @@ def check_model(blob: bytes) -> dict:
         if field not in m:
             raise ValueError(f"ModelProto missing {name}")
     ir = int(m[1][0])
+    # the default-domain entry (field 1 absent or empty) carries the opset
+    # version that matters; every entry must carry a version at all
     opsets = [_pb_fields(o) for o in m[8]]
-    if not any(2 in o for o in opsets):
-        raise ValueError("opset_import missing version")
-    opset = int(opsets[0][2][0])
+    if not all(2 in o for o in opsets):
+        raise ValueError("opset_import entry missing version")
+    default = [o for o in opsets if not o.get(1, [b""])[0]]
+    if not default:
+        raise ValueError("opset_import missing the default-domain entry")
+    opset = int(default[0][2][0])
 
     g = _pb_fields(m[7][0])
     if 2 not in g or not g[2][0]:
