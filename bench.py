@@ -31,15 +31,7 @@ def bench_infer(batch: int, iters: int) -> float:
     from yolojax.ops.postprocess import postprocess
 
     # BENCH_MODEL=darknet|tiny|mobilenet selects the backbone (same head)
-    which = os.environ.get("BENCH_MODEL", "darknet")
-    if which == "mobilenet":
-        from yolojax.models.mobilenet import MobileNet
-
-        flag = _flagship()
-        model = MobileNet(anchors=flag.anchors, num_classes=flag.num_classes,
-                          dtype=flag.dtype, pallas=flag.pallas)
-    else:
-        model = _flagship(tiny=which == "tiny")
+    model = _flagship(backbone=os.environ.get("BENCH_MODEL", "darknet"))
     params, state = model.init(jax.random.PRNGKey(0))
     # Trained-detector candidate density: darknet trains objectness toward
     # predicted IoU, so background cells (the vast majority) sit near zero.
@@ -122,15 +114,7 @@ def bench_train(batch: int, iters: int) -> float:
 
     # BENCH_MODEL=darknet|tiny|mobilenet selects the backbone (same head),
     # mirroring bench_infer, so train throughput is per-backbone durable too
-    which = os.environ.get("BENCH_MODEL", "darknet")
-    if which == "mobilenet":
-        from yolojax.models.mobilenet import MobileNet
-
-        flag = _flagship()
-        model = MobileNet(anchors=flag.anchors, num_classes=flag.num_classes,
-                          dtype=flag.dtype, pallas=flag.pallas)
-    else:
-        model = _flagship(tiny=which == "tiny")
+    model = _flagship(backbone=os.environ.get("BENCH_MODEL", "darknet"))
     params, state = model.init(jax.random.PRNGKey(0))
     optimizer = optax.chain(optax.clip_by_global_norm(5.0),
                             optax.sgd(1e-3, momentum=0.9))
@@ -279,6 +263,10 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "30"))
     mode = os.environ.get("BENCH_MODE", "infer")
     which = os.environ.get("BENCH_MODEL", "darknet")
+    if which != "darknet" and mode not in ("infer", "train"):
+        # e2e/pipeline build the model from the config overlay and would
+        # silently measure the default backbone under a mislabeled metric
+        raise SystemExit(f"BENCH_MODEL={which} is not honored by BENCH_MODE={mode}")
     model_tag = "" if which == "darknet" else f"_{which}"
     rate = {"infer": bench_infer, "train": bench_train, "e2e": bench_e2e,
             "pipeline": bench_pipeline}[mode](batch, iters)

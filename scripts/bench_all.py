@@ -43,14 +43,21 @@ def main():
             continue
         env = dict(os.environ, **env_over)
         print(f"{tag}: running bench.py with {env_over} ...", flush=True)
-        proc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                              capture_output=True, text=True, env=env,
-                              timeout=3600)
+        try:
+            proc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                                  capture_output=True, text=True, env=env,
+                                  timeout=3600)
+        except subprocess.TimeoutExpired:
+            print(f"{tag}: FAILED (timeout after 3600 s) — continuing", flush=True)
+            continue
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
         try:
+            if proc.returncode != 0:
+                raise json.JSONDecodeError("nonzero exit", line, 0)
             rec = json.loads(line)
         except json.JSONDecodeError:
-            print(f"{tag}: FAILED\nstdout: {proc.stdout[-2000:]}\n"
+            print(f"{tag}: FAILED (rc={proc.returncode})\n"
+                  f"stdout: {proc.stdout[-2000:]}\n"
                   f"stderr: {proc.stderr[-2000:]}", flush=True)
             continue
         path = os.path.join(REPO, f"BENCH_{tag}_r{args.round}.json")

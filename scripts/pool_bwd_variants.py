@@ -49,23 +49,12 @@ def pool_fwd(x):
 
 
 def bwd_quadrant(x, y, g):
-    b, h, w, c = x.shape
-    q00 = x[:, 0::2, 0::2, :]
-    q01 = x[:, 0::2, 1::2, :]
-    q10 = x[:, 1::2, 0::2, :]
-    q11 = x[:, 1::2, 1::2, :]
-    m00 = q00 == y
-    m01 = (q01 == y) & ~m00
-    m10 = (q10 == y) & ~m00 & ~m01
-    m11 = ~m00 & ~m01 & ~m10
-    zero = jnp.zeros((), g.dtype)
-    d00 = jnp.where(m00, g, zero)
-    d01 = jnp.where(m01, g, zero)
-    d10 = jnp.where(m10, g, zero)
-    d11 = jnp.where(m11, g, zero)
-    row0 = jnp.stack([d00, d01], axis=3).reshape(b, h // 2, w, c)
-    row1 = jnp.stack([d10, d11], axis=3).reshape(b, h // 2, w, c)
-    return jnp.stack([row0, row1], axis=2).reshape(b, h, w, c)
+    # the shipped tie-semantics oracle — import, don't re-implement, so the
+    # sweep always measures exactly what models/blocks.py would route
+    from yolojax.models.blocks import _max_pool2x2_bwd
+
+    (dx,) = _max_pool2x2_bwd((x, y), g)
+    return dx
 
 
 def bwd_view6d(x, y, g):

@@ -55,14 +55,7 @@ def main():
     from yolojax.ops.loss import LossConfig, region_loss
     from yolojax.parallel.mesh import loss_weights_from_config
 
-    if which == "mobilenet":
-        from yolojax.models.mobilenet import MobileNet
-
-        flag = _flagship()
-        model = MobileNet(anchors=flag.anchors, num_classes=flag.num_classes,
-                          dtype=flag.dtype, pallas=flag.pallas)
-    else:
-        model = _flagship(tiny=which == "tiny")
+    model = _flagship(backbone=which)
     params, state = model.init(jax.random.PRNGKey(0))
     anchors = jnp.asarray(model.anchors)
     aug = TrainAugment()
@@ -99,7 +92,12 @@ def main():
 
     # ---- stage 1: augment alone
     def s1(acc, b, key):
-        k = jax.random.fold_in(key, acc.astype(jnp.int32) & 0)
+        # fold the DATA-DEPENDENT carry into the key: `acc & 0` is folded to
+        # a constant by XLA's simplifier, making the augment loop-invariant
+        # and hoistable out of the scan (it then runs once, not REPEAT times,
+        # and the printed "standalone" figure reads up to REPEAT× too fast —
+        # exactly the round-1 "6 ms" artifact this script exists to avoid)
+        k = jax.random.fold_in(key, acc.astype(jnp.int32) & 1)
         img, ymin, ymax, valid = aug(k, b["canvas"], b["hw"], b["yx_min"],
                                      b["yx_max"], b["valid"], size)
         return acc + img.sum(dtype=jnp.float32) * 1e-12
