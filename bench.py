@@ -197,7 +197,8 @@ keep = 1
 """)
         base = os.path.join(os.path.dirname(os.path.abspath(__file__)), "config.ini")
         cfg_files = [base, overlay]
-        assert cache_main(["-c"] + cfg_files) == 0
+        if cache_main(["-c"] + cfg_files) != 0:  # robust under python -O
+            raise SystemExit("bench e2e: cache step failed")
         args = argparse.Namespace(batch=None, finetune=None, resume=False,
                                   freeze=None, epochs=1)
         t = Train(args, load_config(cfg_files, ()))

@@ -158,10 +158,14 @@ def main():
     cfg.append(overlay)
 
     t0 = time.time()
-    assert cache_main(cfg) == 0
+    # explicit exit-code checks, not assert: a failed cache/estimate must
+    # abort the gate even under `python -O` (ADVICE r3 #3)
+    if cache_main(cfg) != 0:
+        raise SystemExit("gate: cache step failed")
     # anchors from the data itself (exercises the k-means tool end-to-end)
-    assert estimate_main(cfg + ["-k", "5", "-o",
-                                os.path.join(root, "anchors.tsv")]) == 0
+    if estimate_main(cfg + ["-k", "5", "-o",
+                            os.path.join(root, "anchors.tsv")]) != 0:
+        raise SystemExit("gate: anchor estimation failed")
     if not args.skip_train:
         # Run train as the REAL CLI subprocess, not in-process: the RSS
         # watchdog self-heals (checkpoint + exec-restart) only when it owns

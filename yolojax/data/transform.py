@@ -140,6 +140,9 @@ class TrainAugment:
     def from_config(cls, config):
         names = {type(t).__name__ if not isinstance(t, type) else t.__name__
                  for t in parse_attr_list(config.get("transform", "train", fallback=""))}
+        # [transform] dtype = bfloat16 (default) | float32 — restores f32
+        # pixel math from config alone, for parity with the antialias knob
+        dtype = getattr(jnp, config.get("transform", "dtype", fallback="bfloat16"))
         return cls(
             crop="RandomCrop" in names,
             flip="RandomFlipHorizontally" in names,
@@ -148,6 +151,7 @@ class TrainAugment:
             hue=config.getfloat("transform", "hue", fallback=0.1),
             saturation=config.getfloat("transform", "saturation", fallback=1.5),
             exposure=config.getfloat("transform", "exposure", fallback=1.5),
+            dtype=dtype,
             antialias=config.getboolean("transform", "antialias", fallback=True),
         )
 
@@ -217,7 +221,8 @@ class TrainAugment:
 
     @partial(jax.jit, static_argnames=("self", "out_size"))
     def __call__(self, key, canvas, hw, yx_min, yx_max, valid, out_size: int):
-        """Batched fused augmentation. canvas (B,C,C,3) u8 → (B,S,S,3) f32."""
+        """Batched fused augmentation. canvas (B,C,C,3) u8 → (B,S,S,3) pixels
+        in ``self.dtype`` (bf16 by default; boxes/valid stay f32/bool)."""
         keys = jax.random.split(key, canvas.shape[0])
         return jax.vmap(self._one, in_axes=(0, 0, 0, 0, 0, 0, None))(
             keys, canvas, hw.astype(jnp.float32), yx_min, yx_max, valid, out_size)

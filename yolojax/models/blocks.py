@@ -193,8 +193,13 @@ def _max_pool2x2_fwd(x):
 
 
 def _max_pool2x2_bwd(res, g):
+    """Mask-based pool backward oracle.  Requires even H/W (the quadrant
+    slices below assume it); NaN inputs diverge from SelectAndScatter (all
+    eq-masks are false, so the gradient routes to the last quadrant)."""
     x, y = res
     b, h, w, c = x.shape
+    assert h % 2 == 0 and w % 2 == 0, (
+        f"_max_pool2x2 backward requires even spatial dims, got {h}x{w}")
     q00 = x[:, 0::2, 0::2, :]
     q01 = x[:, 0::2, 1::2, :]
     q10 = x[:, 1::2, 0::2, :]
