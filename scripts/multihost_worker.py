@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--canvas", type=int, default=96)
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--classes", type=int, default=2)
+    ap.add_argument("--backbone", choices=("tiny", "darknet", "mobilenet"),
+                    default="tiny",
+                    help="darknet puts the flagship's passthrough "
+                         "(reorg+concat) on the pod mesh (VERDICT r3 #1)")
     args = ap.parse_args()
 
     import jax
@@ -57,7 +61,8 @@ def main():
     from yolojax.data.dataset import Dataset
     from yolojax.data.loader import Loader
     from yolojax.data.transform import TrainAugment
-    from yolojax.models.darknet import Tiny
+    from yolojax.models.darknet import Darknet, Tiny
+    from yolojax.models.mobilenet import MobileNet
     from yolojax.ops.loss import LossConfig
     from yolojax.parallel.mesh import (make_mesh, make_train_step,
                                        shard_host_batch)
@@ -69,7 +74,8 @@ def main():
                     shard=(jax.process_index(), jax.process_count()))
 
     anchors = np.asarray([[1.0, 1.0], [3.0, 3.0]], np.float32)
-    model = Tiny(anchors=anchors, num_classes=args.classes, dtype=jnp.float32)
+    cls = {"tiny": Tiny, "darknet": Darknet, "mobilenet": MobileNet}[args.backbone]
+    model = cls(anchors=anchors, num_classes=args.classes, dtype=jnp.float32)
     params, state = model.init(jax.random.PRNGKey(0))
     opt = optax.chain(optax.clip_by_global_norm(5.0),
                       optax.sgd(1e-3, momentum=0.9))

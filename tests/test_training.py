@@ -10,7 +10,8 @@ import numpy as np
 import optax
 import pytest
 
-from yolojax.models.darknet import Tiny
+from yolojax.models.darknet import Darknet, Tiny
+from yolojax.models.mobilenet import MobileNet
 from yolojax.ops.loss import LossConfig
 from yolojax.parallel.mesh import (batch_sharding, make_mesh, make_train_step,
                                    replicated_sharding)
@@ -33,8 +34,8 @@ def tiny_batch(rng, b=2, s=64, g=3):
     }
 
 
-def build(lr=1e-3):
-    model = Tiny(anchors=ANCHORS, num_classes=4, dtype=jnp.float32)
+def build(lr=1e-3, cls=Tiny):
+    model = cls(anchors=ANCHORS, num_classes=4, dtype=jnp.float32)
     params, state = model.init(jax.random.PRNGKey(0))
     # clip as in the production config — raw-coord MSE gradients are spiky
     # at init (SURVEY.md §2.13 notes optional gradient clipping)
@@ -68,16 +69,22 @@ def test_metrics_components_present(rng):
     assert set(metrics["grads"]) == set(build()[1])
 
 
-def test_mesh_sharded_step_matches_single_device(rng):
+@pytest.mark.parametrize("cls", [Tiny, Darknet, MobileNet],
+                         ids=["tiny", "darknet", "mobilenet"])
+def test_mesh_sharded_step_matches_single_device(rng, cls):
+    """Every backbone must shard: Darknet-19 exercises GSPMD propagation
+    through the passthrough (darknet-order reorg reshape/transpose chains +
+    concat) and MobileNet through grouped convs — the two places sharding
+    surprises live (VERDICT r3 #1: the flagship had no >1-device evidence)."""
     assert jax.device_count() >= 8, "conftest should provide 8 cpu devices"
     batch = tiny_batch(rng, b=8)
     seen = jnp.int32(0)
 
-    model, params, state, opt, opt_state = build()
+    model, params, state, opt, opt_state = build(cls=cls)
     step1 = make_train_step(model, opt, WEIGHTS, LossConfig())
     p1, s1, o1, m1 = step1(params, state, opt_state, batch, seen)
 
-    model, params, state, opt, opt_state = build()
+    model, params, state, opt, opt_state = build(cls=cls)
     mesh = make_mesh(8)
     step8 = make_train_step(model, opt, WEIGHTS, LossConfig(), mesh=mesh)
     p8, s8, o8, m8 = step8(params, state, opt_state, batch, seen)
