@@ -96,3 +96,21 @@ def test_config_digest_stable():
     assert config_digest(c1, ["model", "cache"]) == config_digest(c2, ["model", "cache"])
     c3 = load_config(modify=["model/name=zzz"])
     assert config_digest(c1, ["model"]) != config_digest(c3, ["model"])
+
+
+def test_get_canvas_explicit_derived_and_capped():
+    from yolojax.config import get_canvas
+
+    # shipped config pins 672 explicitly
+    assert get_canvas(load_config()) == 672
+    # emptying the key re-enables derivation under a base that sets it:
+    # 416-pinned ⇒ ceil32(416·1.2) = 512 (the e2e bench transfer lever)
+    config = load_config(modify=["data/canvas=", "train/multi_scale_max=416"])
+    assert get_canvas(config) == 512
+    # full 320..608 recipe derives past the cap ⇒ historical 672
+    config = load_config(modify=["data/canvas=", "train/multi_scale_max=608"])
+    assert get_canvas(config) == 672
+    # jitter widens the margin
+    config = load_config(modify=["data/canvas=", "train/multi_scale_max=416",
+                                 "transform/jitter=0.3"])
+    assert get_canvas(config) == 544

@@ -10,6 +10,7 @@ import os
 import jax
 import numpy as np
 
+from ..config import get_canvas
 from ..category import get_category
 from ..data.cache import load_cache
 from ..data.dataset import Dataset
@@ -32,7 +33,7 @@ def main(argv=None):
 
     category = get_category(config)
     records = load_cache(config, "train")
-    dataset = Dataset(records, canvas=config.getint("data", "canvas", fallback=672),
+    dataset = Dataset(records, canvas=get_canvas(config),
                       max_boxes=config.getint("data", "max_boxes", fallback=60))
     loader = Loader(dataset, batch_size=min(args.num, len(dataset)), seed=args.seed)
     augment = TrainAugment.from_config(config)

@@ -14,6 +14,7 @@ import os
 import jax
 import numpy as np
 
+from ..config import get_canvas
 from ..data.dataset import GRAY
 from ..data.transform import resize_from_config
 from ..models.inference import Inference
@@ -56,7 +57,7 @@ def detect_image(config, model, params, state, image: np.ndarray, size: int):
     else:
         run = inference.detect_fn(threshold, overlap, topk)
 
-    canvas_size = config.getint("data", "canvas", fallback=672)
+    canvas_size = get_canvas(config)
     canvas, hw = _to_canvas(image, canvas_size)
     resize = resize_from_config(config)
     images, scale, pad = resize(canvas[None], hw[None], size)

@@ -48,7 +48,7 @@ def run_eval(config, model, params, state, records, size: int, batch_size: int,
     detect = inference.detect_fn(threshold, overlap, topk,
                                  mesh=mesh if mesh.size > 1 else None)
 
-    canvas = config.getint("data", "canvas", fallback=672)
+    canvas = _config.get_canvas(config)
     max_boxes = config.getint("data", "max_boxes", fallback=60)
     dataset = Dataset(records, canvas=canvas, max_boxes=max_boxes)
     loader = Loader(dataset, batch_size, workers=config.getint("data", "workers", fallback=3),

@@ -89,7 +89,7 @@ class Train:
 
             decoded = os.path.join(_config.get_cache_dir(config), "decoded", "train")
         dataset = Dataset(records,
-                          canvas=config.getint("data", "canvas", fallback=672),
+                          canvas=_config.get_canvas(config),
                           max_boxes=config.getint("data", "max_boxes", fallback=60),
                           decoded_dir=decoded)
         self.batch_size = args.batch or config.getint("data", "batch_size", fallback=16)
@@ -166,7 +166,7 @@ class Train:
     def prewarm(self):
         if not self.config.getboolean("train", "prewarm", fallback=True):
             return
-        canvas = self.config.getint("data", "canvas", fallback=672)
+        canvas = _config.get_canvas(self.config)
         g = self.config.getint("data", "max_boxes", fallback=60)
         b = self.batch_size
         dummy = {

@@ -138,6 +138,27 @@ def get_eval_db(config: configparser.ConfigParser) -> str:
     return os.path.join(get_model_dir(config), "eval.jsonl")
 
 
+def get_canvas(config: configparser.ConfigParser) -> int:
+    """Host decode-canvas edge (``[data] canvas``), derived when unset/empty.
+
+    The canvas is the per-image host→device payload (C²·3 bytes), so its
+    size is the input-pipeline bandwidth knob.  When the key is absent (or
+    explicitly emptied to re-enable derivation under a base config that
+    sets it), size it to the largest train input plus the one-sided jitter
+    crop margin — resolution beyond ``multi_scale_max·(1+jitter)`` only
+    feeds the rare two-sided border expansion and is otherwise resized away
+    on device — rounded up to a multiple of 32 and capped at the historical
+    672 default (which the full 320–608 recipe derives to anyway).
+    E.g. a 416-pinned run derives 512: (672/512)² = 1.7× fewer bytes/image.
+    """
+    raw = config.get("data", "canvas", fallback="").strip()
+    if raw:
+        return int(raw)
+    hi = config.getint("train", "multi_scale_max", fallback=608)
+    jitter = config.getfloat("transform", "jitter", fallback=0.2)
+    return min(672, -(-int(hi * (1.0 + jitter)) // 32) * 32)
+
+
 def get_category_path(config: configparser.ConfigParser) -> str:
     """Absolute path of the category (class names) file."""
     path = _expand(config.get("cache", "category"))
