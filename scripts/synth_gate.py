@@ -10,13 +10,14 @@ with the production recipe (multi-scale 320..608, SGD+momentum+wd, warmup,
 LR milestones, bf16), and mAP@0.5 is then measured on a held-out 100-image
 test split across sizes {320, 416, 544, 608} x {stretch, letterbox}.
 
-Pass criteria (written to SYNTH_GATE.json at the repo root):
-  * mAP@0.5 (stretch) >= 0.88 at 416 and >= 0.90 at 544/608 (convergence)
-  * |letterbox - stretch| <= 0.06 at every size (resize-inversion geometry)
-  * relative mAP drop at the smallest size (320 vs the best size) <= 12.5%
-    — YOLOv2 accuracy genuinely RISES with input size (paper Table 3:
-    69.0 @288 -> 78.6 @544, a 12.2% relative drop at the small end), so a
-    flat across-size spread bound would reject the reference's own behavior.
+Pass criteria (written to SYNTH_GATE.json at the repo root) are the FROZEN
+shared table ``CRITERIA`` below — mAP@0.5 floors per size, a COCO
+AP@[.5:.95] floor at 416, the letterbox-vs-stretch geometry bound, and the
+paper-matched relative small-size drop bound (YOLOv2 accuracy genuinely
+RISES with input size — Table 3: 69.0 @288 -> 78.6 @544, a 12.2% relative
+drop at the small end, so a flat across-size spread bound would reject the
+reference's own behavior).  ``criteria_for`` applies the one documented
+per-backbone delta (tiny).
 
 A failure in any stage of the pipeline -- cache schema, augmentation
 geometry, loss semantics, decode, NMS, resize inversion, AP protocol --
@@ -46,6 +47,45 @@ MODELS = {"darknet": "yolojax.models.darknet.Darknet",
           "mobilenet": "yolojax.models.mobilenet.MobileNet",
           "tiny": "yolojax.models.darknet.Tiny"}
 
+# ---------------------------------------------------------------------------
+# FROZEN gate criteria (VERDICT r3 task #3): one table shared by every
+# backbone at the full 6000-step budget.  Set from the round-3 measured
+# results (darknet 0.89/0.91/0.92 @416/544/608, mobilenet 0.94/0.95/0.94,
+# coco-chain darknet 0.89/0.90/0.90) plus the paper's own size behavior
+# (Table 3: 12.2% relative drop at the small end).  No further downward
+# moves without a paper-anchored justification appended to criteria_history.
+CRITERIA = {
+    "min_map_416": 0.88,
+    "min_map_544_608": 0.90,
+    "min_map_320": 0.80,
+    "max_lb_delta": 0.06,
+    "max_small_size_drop": 0.125,
+    # COCO AP@[.5:.95] at 416/stretch on the trained model (VERDICT r3 task
+    # #2 — BASELINE.md's headline COCO metric, previously never produced by
+    # an accuracy gate).  Floor frozen from the r3 darknet checkpoint
+    # measured at round-4 start: AP 0.5516 (AP50 0.9344, AP75 0.5911) — the
+    # floor sits ~9% below the measurement, and demands an AP/AP50
+    # localization ratio at least matching the paper's own COCO profile
+    # (21.6/44.0 = 0.49; the gate model's is 0.59).
+    "min_coco_ap_416": 0.50,
+}
+# The ONE justified per-backbone delta: Tiny's published accuracy is itself
+# ~0.74 of the flagship's (tiny-yolo-voc 57.1 mAP vs YOLOv2 76.8 @416,
+# darknet model zoo / paper Table 3), so Tiny's four *accuracy* floors scale
+# by that capacity ratio; the two geometry bounds (letterbox delta, relative
+# size drop) are pipeline invariants and stay shared.
+TINY_MAP_FACTOR = 0.74
+ACCURACY_FLOORS = ("min_map_416", "min_map_544_608", "min_map_320",
+                   "min_coco_ap_416")
+
+
+def criteria_for(model: str) -> dict:
+    crit = dict(CRITERIA)
+    if model == "tiny":
+        for k in ACCURACY_FLOORS:
+            crit[k] = round(crit[k] * TINY_MAP_FACTOR, 2)
+    return crit
+
 
 def write_overlay(root: str, data_root: str, steps: int,
                   fmt: str = "voc", model: str = "darknet") -> str:
@@ -59,6 +99,10 @@ def write_overlay(root: str, data_root: str, steps: int,
         cache_lines = f"datasets = yolojax.data.voc\nvoc_roots = {data_root}"
         eval_phase = ""
     m1, m2 = int(steps * 0.75), int(steps * 0.92)
+    # Tiny trains through its OWN shipped anchor set (config/anchors/
+    # tiny-voc.tsv via config/tiny.ini, VERDICT r3 task #8) instead of the
+    # k-means re-estimate the other gates exercise end-to-end.
+    anchor_line = "" if model == "tiny" else f"anchors = {root}/anchors.tsv\n"
     overlay = os.path.join(root, "gate.ini")
     with open(overlay, "w") as f:
         f.write(f"""[config]
@@ -69,8 +113,7 @@ category = {category}
 [model]
 name = synthgate_{model}_{fmt}
 dnn = {MODELS[model]}
-anchors = {root}/anchors.tsv
-[data]
+{anchor_line}[data]
 batch_size = 16
 max_boxes = 10
 canvas = 672
@@ -108,13 +151,6 @@ def main():
                          "(coco: BASELINE config 4 chain, VERDICT r2 #2)")
     ap.add_argument("--model", choices=sorted(MODELS), default="darknet",
                     help="backbone (mobilenet: VERDICT r2 #4 convergence gate)")
-    ap.add_argument("--min-416", type=float, default=0.88)
-    ap.add_argument("--min-544-608", type=float, default=0.90)
-    ap.add_argument("--min-320", type=float, default=0.80)
-    ap.add_argument("--max-small-drop", type=float, default=0.125,
-                    help="relative 320-vs-best drop bound; the paper's own "
-                         "drop is 12.2%% at full budget — reduced-step runs "
-                         "converge small sizes last and need a looser bound")
     ap.add_argument("--out", default=None,
                     help="artifact name (default SYNTH_GATE[_MODEL][_FMT].json)")
     ap.add_argument("--skip-train", action="store_true",
@@ -162,9 +198,10 @@ def main():
     # abort the gate even under `python -O` (ADVICE r3 #3)
     if cache_main(cfg) != 0:
         raise SystemExit("gate: cache step failed")
-    # anchors from the data itself (exercises the k-means tool end-to-end)
-    if estimate_main(cfg + ["-k", "5", "-o",
-                            os.path.join(root, "anchors.tsv")]) != 0:
+    # anchors from the data itself (exercises the k-means tool end-to-end);
+    # tiny instead trains through its shipped tiny-voc.tsv (see write_overlay)
+    if args.model != "tiny" and estimate_main(
+            cfg + ["-k", "5", "-o", os.path.join(root, "anchors.tsv")]) != 0:
         raise SystemExit("gate: anchor estimation failed")
     if not args.skip_train:
         # Run train as the REAL CLI subprocess, not in-process: the RSS
@@ -185,25 +222,42 @@ def main():
     params, state, meta = load_weights_auto(config, model, None, resume=True)
     records = load_cache(config, "val" if args.format == "coco" else "test")
     results = {}
+    rec_416 = None
     for mode in ("stretch", "letterbox"):
         config.set("transform", "resize", f"yolojax.data.transform.{mode}")
         for size in (320, 416, 544, 608):
             r = run_eval(config, model, params, state, records, size,
                          config.getint("eval", "batch_size"), category)
             results[f"{mode}_{size}"] = round(r["map"], 4)
+            if mode == "stretch" and size == 416:
+                rec_416 = r["recorder"]
             print(f"mAP@0.5 {mode:10s} @{size}: {r['map']:.4f}  "
                   f"({r['rate']:.0f} img/s)", flush=True)
 
+    # COCO AP@[.5:.95] on the same 416/stretch detections (VERDICT r3 #2):
+    # BASELINE.md's headline COCO metric, measured on every trained gate
+    # model, not just oracle-tested.
+    from yolojax.eval_ap import evaluate_coco
+    coco = evaluate_coco(rec_416)
+    coco_ap = {"ap": round(coco["map"], 4), "ap50": round(coco["map_50"], 4),
+               "ap75": round(coco["map_75"], 4)}
+    print(f"COCO AP@[.5:.95] stretch @416: {coco_ap['ap']:.4f}  "
+          f"(AP50 {coco_ap['ap50']:.4f}, AP75 {coco_ap['ap75']:.4f})",
+          flush=True)
+
+    crit = criteria_for(args.model)
     stretch = [results[f"stretch_{s}"] for s in (320, 416, 544, 608)]
     spread = max(stretch) - min(stretch)
     lb_delta = max(abs(results[f"letterbox_{s}"] - results[f"stretch_{s}"])
                    for s in (320, 416, 544, 608))
     small_drop = (max(stretch) - results["stretch_320"]) / max(max(stretch), 1e-9)
-    ok = (results["stretch_416"] >= args.min_416
-          and results["stretch_544"] >= args.min_544_608
-          and results["stretch_608"] >= args.min_544_608
-          and results["stretch_320"] >= args.min_320
-          and lb_delta <= 0.06 and small_drop <= args.max_small_drop)
+    ok = (results["stretch_416"] >= crit["min_map_416"]
+          and results["stretch_544"] >= crit["min_map_544_608"]
+          and results["stretch_608"] >= crit["min_map_544_608"]
+          and results["stretch_320"] >= crit["min_map_320"]
+          and coco_ap["ap"] >= crit["min_coco_ap_416"]
+          and lb_delta <= crit["max_lb_delta"]
+          and small_drop <= crit["max_small_size_drop"])
     out = {
         "dataset": {"images": args.images, "classes": len(CLASSES),
                     "format": args.format, "occlusion_iou_cap": 0.45,
@@ -216,16 +270,13 @@ def main():
                     "overlay — darknet/tiny sgd+momentum+wd, mobilenet adam)",
                   "wall_s": round(train_s, 1), "step": int(meta.get("step", 0) or 0)},
         "map": results,
+        "coco_ap_416_stretch": coco_ap,
         "stretch_spread_across_sizes": round(spread, 4),
         "max_letterbox_vs_stretch_delta": round(lb_delta, 4),
         "small_size_relative_drop": round(small_drop, 4),
-        "criteria": {"min_map_416": args.min_416,
-                     "min_map_544_608": args.min_544_608,
-                     "min_map_320": args.min_320, "max_lb_delta": 0.06,
-                     # paper Table 3's own small-size drop is 12.2% (69.0
-                     # @288 vs 78.6 @544) — size-dependence is reference
-                     # behavior, not a pipeline defect
-                     "max_small_size_drop": args.max_small_drop},
+        # the frozen shared table (criteria_for applies the one documented
+        # per-backbone delta: tiny accuracy floors ×0.74, paper-anchored)
+        "criteria": crit,
         # threshold audit trail (ADVICE r2 #4): round-1 gate was
         # {min_map_416: 0.90, absolute spread <= 0.06, no 320 floor}; the
         # round-2 change (landed alongside fusedpost-by-default) relaxed 416
@@ -239,6 +290,18 @@ def main():
             "r2": {"min_map_416": 0.88, "max_small_size_drop": 0.125},
             "r3": {"min_map_416": 0.88, "min_map_320": 0.80,
                    "max_small_size_drop": 0.125},
+            # round 4 (VERDICT r3 #2/#3): criteria UNIFIED and FROZEN — one
+            # table for all backbones (the r3 mobilenet-specific floors
+            # 0.84/0.86/0.74/0.16 are superseded UPWARD to the shared
+            # table); the single surviving delta is tiny ×0.74 on accuracy
+            # floors, anchored to tiny-yolo-voc's published 57.1 mAP vs
+            # YOLOv2's 76.8.  New: min_coco_ap_416 (AP@[.5:.95], 416
+            # stretch) frozen at 0.50 — see CRITERIA for the measurement it
+            # was set from.
+            "r4": {"min_map_416": 0.88, "min_map_544_608": 0.90,
+                   "min_map_320": 0.80, "min_coco_ap_416": 0.50,
+                   "max_lb_delta": 0.06, "max_small_size_drop": 0.125,
+                   "tiny_accuracy_floor_factor": TINY_MAP_FACTOR},
         },
         "pass": bool(ok),
     }
