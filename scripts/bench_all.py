@@ -28,6 +28,15 @@ JOBS = [
     ("MOBILENET_TRAIN", {"BENCH_MODE": "train", "BENCH_MODEL": "mobilenet"}),
     ("TINY_TRAIN", {"BENCH_MODE": "train", "BENCH_MODEL": "tiny"}),
     ("E2E", {"BENCH_MODE": "e2e", "BENCH_BATCH": "32", "BENCH_ITERS": "10"}),
+    # B=1 fused-detect latency (BASELINE config 1; VERDICT r3 #7)
+    ("LATENCY", {"BENCH_MODE": "latency"}),
+    # the multi-size perf curve (VERDICT r3 #5); 416 stays the headline
+    ("320", {"BENCH_SIZE": "320"}),
+    ("544", {"BENCH_SIZE": "544"}),
+    ("608", {"BENCH_SIZE": "608"}),
+    ("TRAIN_320", {"BENCH_MODE": "train", "BENCH_SIZE": "320"}),
+    ("TRAIN_544", {"BENCH_MODE": "train", "BENCH_SIZE": "544"}),
+    ("TRAIN_608", {"BENCH_MODE": "train", "BENCH_SIZE": "608", "BENCH_BATCH": "64"}),
 ]
 
 
