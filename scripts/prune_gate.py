@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Pruning accuracy-recovery gate (VERDICT r3 task #6; SURVEY.md §2.19).
+
+Network slimming's point is not the mask mechanics (unit-tested in
+tests/test_tools.py) but that a pruned model *finetunes back to accuracy*.
+This gate demonstrates it on the synthetic workspace the main gate trained:
+
+    trained darknet gate checkpoint (6000 steps, mAP@0.5 ~0.89 @416)
+      ├─ eval dense           → map_dense
+      ├─ prune --ratio R      → BN-γ channel masks (tools/prune.py)
+      ├─ eval pruned, frozen  → map_pruned   (the accuracy hit)
+      ├─ finetune N steps     → production train CLI under the channels
+      │                         override (subprocess: RSS watchdog owns argv)
+      └─ eval finetuned       → map_finetuned
+
+Pass criterion (written to SYNTH_GATE_PRUNE.json): the pruned+finetuned
+model recovers to within ``max_recovery_deficit`` of the dense mAP@0.5 at
+416/stretch.  Frozen at 0.03 — the network-slimming paper (PAPERS.md)
+reports ≤1pt VOC drops at comparable ratios; 3pts on this easier synthetic
+task is a conservative ceiling, recorded before the first run.
+
+Requires the main gate workspace (scripts/synth_gate.py, darknet/voc) to
+exist: ``python scripts/prune_gate.py [--root /tmp/synth_gate]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from synth_gate import write_overlay  # noqa: E402  (sibling script import)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/synth_gate",
+                    help="trained darknet/voc gate workspace")
+    ap.add_argument("--ratio", type=float, default=0.4,
+                    help="fraction of prunable channels to REMOVE")
+    ap.add_argument("--finetune-steps", type=int, default=1500)
+    ap.add_argument("--steps", type=int, default=6000,
+                    help="the step budget the source gate was trained with")
+    ap.add_argument("--skip-finetune", action="store_true",
+                    help="reuse the finetuned checkpoint, just re-run evals")
+    ap.add_argument("--out", default="SYNTH_GATE_PRUNE.json")
+    args = ap.parse_args()
+
+    from yolojax.cli import make_parser, setup
+    from yolojax.cli.eval import run_eval
+    from yolojax.cli.prune import main as prune_main
+    from yolojax.cli.common import build, load_weights_auto
+    from yolojax.data.cache import load_cache
+
+    root = args.root
+    data_root = os.path.join(root, "VOC2007")
+    if not os.path.isdir(data_root):
+        raise SystemExit(f"no gate workspace at {root}: run scripts/synth_gate.py first")
+    overlay = write_overlay(root, data_root, args.steps)
+    cfg = ["-c", os.path.join(REPO, "config.ini"), overlay]
+    pruned_dir = os.path.join(root, "pruned")
+    channels = os.path.join(pruned_dir, "channels.json")
+    ch_override = ["-m", f"model/channels={channels}"]
+
+    def eval_416(extra, resume=True, fil=None):
+        eval_args = make_parser("prune gate eval").parse_args(cfg + extra)
+        config = setup(eval_args)
+        config.set("transform", "resize", "yolojax.data.transform.stretch")
+        category, anchors, model = build(config)
+        params, state, meta = load_weights_auto(config, model, fil, resume=resume)
+        records = load_cache(config, "test")
+        r = run_eval(config, model, params, state, records, 416,
+                     config.getint("eval", "batch_size"), category)
+        return round(r["map"], 4), int(meta.get("step", 0) or 0)
+
+    t0 = time.time()
+    map_dense, dense_step = eval_416([])
+    print(f"dense     mAP@0.5 @416: {map_dense:.4f} (step {dense_step})", flush=True)
+
+    # prune the same latest checkpoint the dense eval used
+    if prune_main(cfg + ["--ratio", str(args.ratio), "-o", pruned_dir]) != 0:
+        raise SystemExit("prune gate: prune step failed")
+    pruned_ckpt = os.path.join(pruned_dir, f"{dense_step}.npz")
+    map_pruned, _ = eval_416(ch_override, resume=False, fil=pruned_ckpt)
+    print(f"pruned    mAP@0.5 @416: {map_pruned:.4f} (ratio {args.ratio})", flush=True)
+
+    # finetune under the channels override in a fresh model dir seeded with
+    # the pruned checkpoint; short decaying LR schedule on top of the
+    # source budget (resume restores step=dense_step, so milestones are
+    # absolute).  Subprocess — the RSS watchdog needs to own argv.
+    total = dense_step + args.finetune_steps
+    m1, m2 = dense_step + int(args.finetune_steps * 0.6), \
+        dense_step + int(args.finetune_steps * 0.9)
+    ft_overrides = ch_override + [
+        "-m", "model/name=synthgate_darknet_voc_pruned",
+        "-m", "train/learning_rate=1e-4",
+        "-m", f"train/milestones={m1},{m2}",
+    ]
+    ft_dir = os.path.join(root, "artifacts", "model", "category8", "Darknet",
+                          "synthgate_darknet_voc_pruned")
+    if not args.skip_finetune:
+        os.makedirs(ft_dir, exist_ok=True)
+        shutil.copy2(pruned_ckpt, os.path.join(ft_dir, f"{dense_step}.npz"))
+        subprocess.run([sys.executable, os.path.join(REPO, "train.py"), *cfg,
+                        *ft_overrides, "-r", "--steps", str(total)], check=True)
+    map_finetuned, ft_step = eval_416(ft_overrides)
+    print(f"finetuned mAP@0.5 @416: {map_finetuned:.4f} (step {ft_step})", flush=True)
+
+    max_deficit = 0.03
+    ok = (map_finetuned >= map_dense - max_deficit) and ft_step >= total
+    with open(channels) as f:
+        n_kept = sum(json.load(f).values())
+    out = {
+        "source": {"workspace": root, "model": "darknet", "step": dense_step},
+        "ratio": args.ratio,
+        "channels_kept": n_kept,
+        "map_dense_416": map_dense,
+        "map_pruned_416": map_pruned,
+        "map_finetuned_416": map_finetuned,
+        "recovery_delta": round(map_finetuned - map_dense, 4),
+        "finetune": {"steps": args.finetune_steps, "lr": 1e-4,
+                     "milestones": [m1, m2],
+                     "wall_s": round(time.time() - t0, 1)},
+        "criteria": {"max_recovery_deficit": max_deficit},
+        "pass": bool(ok),
+    }
+    with open(os.path.join(REPO, args.out), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
