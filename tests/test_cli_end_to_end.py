@@ -177,6 +177,32 @@ def test_detect_cli(workspace):
     assert os.path.exists(out)
 
 
+def test_detect_cli_video(workspace):
+    """Video-file input drives the same frame loop as the camera path and
+    writes one annotated video with -o (the loop the camera shares is
+    otherwise untestable in this sandbox)."""
+    import cv2
+
+    from yolojax.cli.detect import main
+
+    root, cfg = workspace
+    src = str(root / "clip.avi")
+    writer = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"MJPG"), 10.0, (128, 96))
+    for i in range(3):
+        img = cv2.imread(str(root / "VOC2007" / "JPEGImages" / f"{i:06d}.jpg"))
+        writer.write(img)
+    writer.release()
+
+    out = str(root / "det.avi")
+    assert main(cfg + ["--size", "64", "-o", out, src]) == 0
+    cap = cv2.VideoCapture(out)
+    frames = 0
+    while cap.read()[0]:
+        frames += 1
+    cap.release()
+    assert frames == 3
+
+
 def test_demo_data_cli(workspace):
     from yolojax.cli.demo_data import main
 

@@ -1,5 +1,5 @@
-"""``detect`` command: single image / camera detection (SURVEY.md §3.3;
-BASELINE config 1).
+"""``detect`` command: single image / video file / camera detection
+(SURVEY.md §3.3; BASELINE config 1).
 
 Pipeline: read frame → centered gray canvas → letterbox to ``[detect]`` size
 → folded forward + decode + per-class NMS (one jitted program) → invert the
@@ -85,7 +85,8 @@ def detect_image(config, model, params, state, image: np.ndarray, size: int):
 
 def main(argv=None):
     parser = make_parser("detect objects in an image (or camera stream)")
-    parser.add_argument("input", help="image path, or an integer camera index")
+    parser.add_argument("input", help="image path, video path, or an integer "
+                                      "camera index")
     parser.add_argument("-f", "--file", default=None,
                         help="checkpoint .npz or darknet .weights (default: latest)")
     parser.add_argument("--size", type=int, default=None)
@@ -100,13 +101,13 @@ def main(argv=None):
 
     import cv2
 
-    def handle(frame_rgb, tag: str):
+    def handle(frame_rgb, tag: str, write: bool = True):
         ymin, ymax, cls, conf = detect_image(config, model, params, state, frame_rgb, size)
         for i in range(len(cls)):
             _LOG.info("%s: %s %.2f @ %s %s", tag, category[cls[i]], conf[i],
                       ymin[i].round(3), ymax[i].round(3))
         drawn = draw_boxes(frame_rgb, ymin, ymax, cls, conf, category)
-        if args.output:
+        if write and args.output:
             cv2.imwrite(args.output, drawn[:, :, ::-1])
             _LOG.info("wrote %s", args.output)
         if args.show:
@@ -117,21 +118,44 @@ def main(argv=None):
             plt.show()
         return drawn
 
-    if args.input.isdigit():  # camera loop
-        cap = cv2.VideoCapture(int(args.input))
+    def run_capture(cap, tag: str) -> int:
+        """Frame loop shared by the camera and video-file paths; with ``-o``
+        the annotated frames are written back out as one video."""
+        writer, n = None, 0
         try:
             while True:
                 ok, frame = cap.read()
                 if not ok:
                     break
-                handle(frame[:, :, ::-1], "cam")
+                drawn = handle(frame[:, :, ::-1], f"{tag}#{n}", write=False)
+                if args.output:
+                    if writer is None:
+                        fps = cap.get(cv2.CAP_PROP_FPS)
+                        fourcc = "mp4v" if args.output.endswith(".mp4") else "MJPG"
+                        writer = cv2.VideoWriter(
+                            args.output, cv2.VideoWriter_fourcc(*fourcc),
+                            fps if fps and fps > 0 else 25.0,
+                            (drawn.shape[1], drawn.shape[0]))
+                    writer.write(np.ascontiguousarray(drawn[:, :, ::-1]))
+                n += 1
         finally:
             cap.release()
+            if writer is not None:
+                writer.release()
+                _LOG.info("wrote %s (%d frames)", args.output, n)
+        return n
+
+    if args.input.isdigit():  # camera loop
+        run_capture(cv2.VideoCapture(int(args.input)), "cam")
     else:
         img = cv2.imread(args.input, cv2.IMREAD_COLOR)
-        if img is None:
-            raise SystemExit(f"cannot read {args.input}")
-        handle(img[:, :, ::-1], os.path.basename(args.input))
+        if img is not None:
+            handle(img[:, :, ::-1], os.path.basename(args.input))
+        else:  # not an image — try it as a video container
+            cap = cv2.VideoCapture(args.input)
+            if not (cap.isOpened()
+                    and run_capture(cap, os.path.basename(args.input))):
+                raise SystemExit(f"cannot read {args.input}")
     return 0
 
 
