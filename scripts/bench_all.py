@@ -27,7 +27,12 @@ JOBS = [
     ("TRAIN", {"BENCH_MODE": "train"}),
     ("MOBILENET_TRAIN", {"BENCH_MODE": "train", "BENCH_MODEL": "mobilenet"}),
     ("TINY_TRAIN", {"BENCH_MODE": "train", "BENCH_MODEL": "tiny"}),
-    ("E2E", {"BENCH_MODE": "e2e", "BENCH_BATCH": "32", "BENCH_ITERS": "10"}),
+    ("E2E", {"BENCH_MODE": "e2e", "BENCH_BATCH": "32", "BENCH_ITERS": "10",
+             "BENCH_E2E_DECOMP": "1"}),
+    # post-bf16-augment train batch re-sweep (VERDICT r3 #5: the r1 sweep
+    # 479/678/881/897 @B=32..256 predates the NMS rework + bf16 augment)
+    ("TRAIN_B192", {"BENCH_MODE": "train", "BENCH_BATCH": "192"}),
+    ("TRAIN_B256", {"BENCH_MODE": "train", "BENCH_BATCH": "256"}),
     # B=1 fused-detect latency (BASELINE config 1; VERDICT r3 #7)
     ("LATENCY", {"BENCH_MODE": "latency"}),
     # the multi-size perf curve (VERDICT r3 #5); 416 stays the headline
@@ -69,6 +74,16 @@ def main():
                   f"stdout: {proc.stdout[-2000:]}\n"
                   f"stderr: {proc.stderr[-2000:]}", flush=True)
             continue
+        # fold stderr JSON diagnostics (e.g. the e2e phase decomposition,
+        # which bench.py prints to stderr so the driver metric line stays
+        # clean) into the artifact
+        for sline in (proc.stderr or "").splitlines():
+            sline = sline.strip()
+            if sline.startswith("{"):
+                try:
+                    rec.setdefault("diagnostics", []).append(json.loads(sline))
+                except json.JSONDecodeError:
+                    pass
         path = os.path.join(REPO, f"BENCH_{tag}_r{args.round}.json")
         with open(path, "w") as f:
             json.dump(rec, f)

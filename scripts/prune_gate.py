@@ -20,7 +20,13 @@ reports ≤1pt VOC drops at comparable ratios; 3pts on this easier synthetic
 task is a conservative ceiling, recorded before the first run.
 
 Requires the main gate workspace (scripts/synth_gate.py, darknet/voc) to
-exist: ``python scripts/prune_gate.py [--root /tmp/synth_gate]``.
+exist: ``python scripts/prune_gate.py [--root /tmp/synth_gate]`` — or pass
+``--fresh`` to build a dedicated dense source here: generate the synthetic
+VOC set, cache, k-means anchors, and train darknet pinned to 416
+(multi_scale 416..416, derived canvas 512).  The recovery criterion is
+RELATIVE (finetuned vs dense on the same workspace), so the pinned-416
+short-budget source is sound evidence for the prune→finetune→recover story;
+multi-scale robustness is SYNTH_GATE.json's job, not this gate's.
 """
 
 from __future__ import annotations
@@ -50,6 +56,12 @@ def main():
                     help="the step budget the source gate was trained with")
     ap.add_argument("--skip-finetune", action="store_true",
                     help="reuse the finetuned checkpoint, just re-run evals")
+    ap.add_argument("--fresh", action="store_true",
+                    help="build the dense source workspace here: generate "
+                         "synthetic VOC, cache, estimate anchors, train "
+                         "darknet pinned to 416 for --steps")
+    ap.add_argument("--images", type=int, default=600,
+                    help="--fresh: synthetic dataset size")
     ap.add_argument("--out", default="SYNTH_GATE_PRUNE.json")
     args = ap.parse_args()
 
@@ -61,10 +73,36 @@ def main():
 
     root = args.root
     data_root = os.path.join(root, "VOC2007")
-    if not os.path.isdir(data_root):
+    pin = []
+    if args.fresh:
+        from yolojax.cli.cache import main as cache_main
+        from yolojax.cli.estimate import main as estimate_main
+        from yolojax.data.synth import generate_voc
+
+        os.makedirs(root, exist_ok=True)
+        data_root = generate_voc(root, args.images)
+        # pin the whole workspace to 416: one prewarmed executable instead
+        # of ten, and [data] canvas derives down to 512 (config.get_canvas),
+        # a 1.7x smaller host->device payload per image
+        pin = ["-m", "train/multi_scale_min=416",
+               "-m", "train/multi_scale_max=416",
+               "-m", "data/canvas="]
+        overlay = write_overlay(root, data_root, args.steps)
+        cfg = ["-c", os.path.join(REPO, "config.ini"), overlay, *pin]
+        if cache_main(cfg) != 0:
+            raise SystemExit("prune gate: cache step failed")
+        if estimate_main(cfg + ["-k", "5", "-o",
+                                os.path.join(root, "anchors.tsv")]) != 0:
+            raise SystemExit("prune gate: anchor estimation failed")
+        # real CLI subprocess: the RSS watchdog self-heals only when it
+        # owns argv (see synth_gate.py)
+        subprocess.run([sys.executable, os.path.join(REPO, "train.py"),
+                        *cfg, "--steps", str(args.steps)], check=True)
+    elif not os.path.isdir(data_root):
         raise SystemExit(f"no gate workspace at {root}: run scripts/synth_gate.py first")
-    overlay = write_overlay(root, data_root, args.steps)
-    cfg = ["-c", os.path.join(REPO, "config.ini"), overlay]
+    else:
+        overlay = write_overlay(root, data_root, args.steps)
+        cfg = ["-c", os.path.join(REPO, "config.ini"), overlay]
     pruned_dir = os.path.join(root, "pruned")
     channels = os.path.join(pruned_dir, "channels.json")
     ch_override = ["-m", f"model/channels={channels}"]
@@ -118,7 +156,14 @@ def main():
     with open(channels) as f:
         n_kept = sum(json.load(f).values())
     out = {
-        "source": {"workspace": root, "model": "darknet", "step": dense_step},
+        "source": {"workspace": root, "model": "darknet", "step": dense_step,
+                   "recipe": ("production config pinned to 416 "
+                              "(multi_scale 416..416, derived canvas 512), "
+                              f"{args.steps}-step dense source — sound for "
+                              "the RELATIVE recovery criterion; multi-scale "
+                              "robustness is SYNTH_GATE.json's evidence"
+                              if args.fresh else
+                              "synth_gate.py production multi-scale recipe")},
         "ratio": args.ratio,
         "channels_kept": n_kept,
         "map_dense_416": map_dense,
