@@ -239,6 +239,18 @@ keep = 1
         # number; it is printed to stderr as a diagnostic, never as the
         # driver metric.
         decomp = bool(int(os.environ.get("BENCH_E2E_DECOMP", "0")))
+
+        @jax.jit
+        def _gate_all(tree):
+            # One executable whose INPUTS are every transferred buffer: it
+            # cannot run until each put lands, so fetching its scalar gates
+            # the whole batch.  Fetching one leaf's sum does NOT order the
+            # other independent puts through the tunnel (the round-4 e2e
+            # decomposition bug — the 25 MB canvas wire time migrated into
+            # the device_step column; DEVNOTES).
+            return sum(jnp.float32(v.ravel()[0])
+                       for v in jax.tree_util.tree_leaves(tree))
+
         phases = np.zeros(3)  # host, transfer, step (seconds)
         t0 = None
         t_host0 = time.perf_counter()
@@ -247,10 +259,13 @@ keep = 1
             key = jax.random.fold_in(t.key, it)
             dev = shard_host_batch(t.mesh, {
                 k: b[k] for k in ("canvas", "hw", "yx_min", "yx_max", "cls", "valid")})
-            if decomp and t0 is not None:
-                # force the puts to complete (hw is put last per dict order;
-                # the tunnel executes single-stream, so its sum gates all)
-                float(dev["hw"].sum())
+            if decomp:
+                # single-process shard_host_batch is a no-op (host numpy,
+                # shipped at dispatch): put explicitly so the wire time is
+                # attributed to the transfer column, not the device step
+                dev = jax.device_put(dev)
+                if t0 is not None:
+                    float(_gate_all(dev))
             t_put = time.perf_counter()
             t.params, t.state, t.opt_state, metrics = t.train_step(
                 t.params, t.state, t.opt_state, dev, jnp.int32(0), key, 416)
@@ -271,12 +286,20 @@ keep = 1
             import sys
 
             ms = phases / iters * 1000
+            cv = t.loader.dataset.canvas
+            batch_mb = batch * (cv * cv * 3 + 4 * 10 * 9 + 16) / 1e6
             print(json.dumps({
                 "e2e_decomposition_ms_per_batch": {
                     "host_prep": round(ms[0], 1), "transfer": round(ms[1], 1),
                     "device_step": round(ms[2], 1)},
                 "batch": batch,
-                "canvas": t.loader.dataset.canvas,
+                "canvas": cv,
+                # derived: what the chip does once fed, and the wire rate
+                # that starves it (the sandbox tunnel swings 13-83 MB/s
+                # session to session — DEVNOTES; a real v5e host feeds over
+                # PCIe DMA and converges to the device rate)
+                "device_only_img_per_s": round(batch / ms[2] * 1000, 1),
+                "tunnel_wire_MB_per_s": round(batch_mb / ms[1] * 1000, 1),
                 "note": "serialized phases; pipelined rate is the metric"},
             ), file=sys.stderr, flush=True)
         return iters * batch / (time.perf_counter() - t0)

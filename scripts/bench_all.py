@@ -49,9 +49,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", required=True, help="round number, e.g. 03")
     ap.add_argument("--skip", nargs="*", default=[], help="tags to skip")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="run just these tags (single-job re-runs)")
     args = ap.parse_args()
 
     for tag, env_over in JOBS:
+        if args.only is not None and tag.lower() not in [s.lower() for s in args.only]:
+            continue
         if tag.lower() in [s.lower() for s in args.skip]:
             print(f"{tag}: skipped", flush=True)
             continue
