@@ -120,6 +120,7 @@ canvas = 672
 sizes = 416,416
 workers = 3
 decoded_cache = 1
+device_dataset = 1
 [train]
 learning_rate = 1e-3
 clip = 5.0

@@ -127,6 +127,18 @@ def test_train_cli_resume(workspace):
     assert "5.npz" in os.listdir(model_dir)
 
 
+def test_train_cli_device_dataset(workspace):
+    """`[data] device_dataset = 1` trains through the on-device gather path
+    (data/device_cache.py) with the same CLI surface."""
+    from yolojax.cli.train import main
+
+    root, cfg = workspace
+    assert main(cfg + ["-m", "data/device_dataset=1",
+                       "-m", "model/name=e2e_devdata", "--steps", "2"]) == 0
+    model_dir = root / "artifacts" / "model" / "category2" / "Tiny" / "e2e_devdata"
+    assert "2.npz" in os.listdir(model_dir)
+
+
 def test_eval_cli(workspace, capsys):
     from yolojax.cli.eval import main
 

@@ -130,6 +130,18 @@ class Train:
                 _LOG.info("checkpoint has no optimizer state; starting fresh")
 
         self.mesh = make_mesh_for_batch(self.batch_size)
+        # device-resident dataset (data/device_cache.py): upload every canvas
+        # once, gather batches on-device — the hot loop ships indices, not
+        # pixels.  Opt-in: only sound when the decoded set fits in HBM.
+        self.device_data = None
+        if config.getboolean("data", "device_dataset", fallback=False):
+            from ..data.device_cache import DeviceDataset
+
+            self.device_data = DeviceDataset(
+                dataset, self.mesh, self.batch_size,
+                seed=config.getint("train", "seed", fallback=0))
+            _LOG.info("device-resident dataset: %d items, %.0f MB uploaded once",
+                      len(dataset), self.device_data.nbytes / 1e6)
         loss_cfg = LossConfig(
             ignore_threshold=config.getfloat("loss", "threshold", fallback=0.6),
             rescore=config.getboolean("loss", "rescore", fallback=True),
@@ -227,16 +239,20 @@ class Train:
         self.prewarm()
         _LOG.info("training %d steps (%d/epoch), %d devices, sizes %s",
                   total, self.steps_per_epoch, len(self.mesh.devices.ravel()), self.sizes)
+        source = self.device_data if self.device_data is not None else self.loader
         try:
-            for batch in self.loader:
+            for batch in source:
                 if self.step >= total:
                     break
                 if self.step % self.interval == 0:
                     size = int(self.rng.choice(self.sizes))
                 key = jax.random.fold_in(self.key, self.step)
-                dev_batch = shard_host_batch(self.mesh, {
-                    k: batch[k] for k in
-                    ("canvas", "hw", "yx_min", "yx_max", "cls", "valid")})
+                if self.device_data is not None:  # already gathered on-device
+                    dev_batch = batch
+                else:
+                    dev_batch = shard_host_batch(self.mesh, {
+                        k: batch[k] for k in
+                        ("canvas", "hw", "yx_min", "yx_max", "cls", "valid")})
                 self.params, self.state, self.opt_state, metrics = self.train_step(
                     self.params, self.state, self.opt_state, dev_batch,
                     jnp.int32(min(self.seen, 2**31 - 1)), key, size)
