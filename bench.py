@@ -170,6 +170,12 @@ def bench_e2e(batch: int, iters: int) -> float:
     NOTE this sandbox's host has ONE CPU core (DEVNOTES.md) — on it the
     number is host-bound far below the device train rate; on a real v5e host
     it converges to BENCH_MODE=train.
+
+    BENCH_E2E_DEVDATA=1 runs the same production loop with the
+    device-resident dataset cache ([data] device_dataset — the working set
+    is uploaded once and batches gather on-device), the framework's answer
+    when the host/wire cannot feed the chip: the hot loop ships indices,
+    so even through the sandbox tunnel e2e converges to the device rate.
     """
     import argparse
     import shutil
@@ -180,6 +186,7 @@ def bench_e2e(batch: int, iters: int) -> float:
     from yolojax.config import load_config
     from yolojax.data.synth import CLASSES, generate_voc
 
+    devdata = bool(int(os.environ.get("BENCH_E2E_DEVDATA", "0")))
     root = tempfile.mkdtemp(prefix="bench_e2e")
     try:
         voc = generate_voc(root, 256, seed=11)
@@ -201,6 +208,7 @@ batch_size = {batch}
 max_boxes = 10
 workers = {os.cpu_count() or 4}
 decoded_cache = 1
+device_dataset = {int(devdata)}
 ; empty ⇒ derive from multi_scale_max (yolojax.config.get_canvas): this
 ; 416-pinned run packs/transfers 512² canvases instead of the base 672²
 canvas =
@@ -254,17 +262,24 @@ keep = 1
         phases = np.zeros(3)  # host, transfer, step (seconds)
         t0 = None
         t_host0 = time.perf_counter()
-        for b in t.loader:
+        source = t.device_data if devdata else t.loader
+        for b in source:
             t_host = time.perf_counter()
             key = jax.random.fold_in(t.key, it)
-            dev = shard_host_batch(t.mesh, {
-                k: b[k] for k in ("canvas", "hw", "yx_min", "yx_max", "cls", "valid")})
+            if devdata:  # batch already gathered on-device, nothing to ship
+                dev = b
+            else:
+                dev = shard_host_batch(t.mesh, {
+                    k: b[k] for k in ("canvas", "hw", "yx_min", "yx_max", "cls", "valid")})
             if decomp:
-                # single-process shard_host_batch is a no-op (host numpy,
-                # shipped at dispatch): put explicitly so the wire time is
-                # attributed to the transfer column, not the device step
-                dev = jax.device_put(dev)
+                if not devdata:
+                    # single-process shard_host_batch is a no-op (host numpy,
+                    # shipped at dispatch): put explicitly so the wire time is
+                    # attributed to the transfer column, not the device step
+                    dev = jax.device_put(dev)
                 if t0 is not None:
+                    # devdata: this forces the on-device gather instead —
+                    # the "transfer" column then reads HBM copy, not wire
                     float(_gate_all(dev))
             t_put = time.perf_counter()
             t.params, t.state, t.opt_state, metrics = t.train_step(
@@ -299,7 +314,9 @@ keep = 1
                 # session to session — DEVNOTES; a real v5e host feeds over
                 # PCIe DMA and converges to the device rate)
                 "device_only_img_per_s": round(batch / ms[2] * 1000, 1),
-                "tunnel_wire_MB_per_s": round(batch_mb / ms[1] * 1000, 1),
+                "tunnel_wire_MB_per_s": (None if devdata else
+                                         round(batch_mb / ms[1] * 1000, 1)),
+                "device_dataset": devdata,
                 "note": "serialized phases; pipelined rate is the metric"},
             ), file=sys.stderr, flush=True)
         return iters * batch / (time.perf_counter() - t0)
@@ -363,8 +380,11 @@ def main():
     fns = {"infer": bench_infer, "train": bench_train}
     rate = (fns[mode](batch, iters, size) if mode in fns
             else {"e2e": bench_e2e, "pipeline": bench_pipeline}[mode](batch, iters))
+    mode_tag = mode
+    if mode == "e2e" and int(os.environ.get("BENCH_E2E_DEVDATA", "0") or 0):
+        mode_tag = "e2e_devdata"
     print(json.dumps({
-        "metric": f"yolov2{model_tag}_{size}_{mode}_images_per_sec_per_chip",
+        "metric": f"yolov2{model_tag}_{size}_{mode_tag}_images_per_sec_per_chip",
         "value": round(rate, 2),
         "unit": "images/sec",
         "vs_baseline": round(rate / baseline, 3),
