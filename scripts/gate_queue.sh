@@ -16,6 +16,9 @@ for job in "$@"; do
     e2e)
       python -u scripts/bench_all.py --round 04 --only e2e \
         >> .gate/logs/e2e.log 2>&1 ;;
+    e2e_devdata)
+      python -u scripts/bench_all.py --round 04 --only e2e_devdata \
+        >> .gate/logs/e2e_devdata.log 2>&1 ;;
     tiny)
       args=()
       [ "${RESUME:-0}" = 1 ] && args+=(--resume)

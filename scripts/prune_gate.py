@@ -51,7 +51,17 @@ def main():
                     help="trained darknet/voc gate workspace")
     ap.add_argument("--ratio", type=float, default=0.4,
                     help="fraction of prunable channels to REMOVE")
-    ap.add_argument("--finetune-steps", type=int, default=1500)
+    ap.add_argument("--finetune-steps", type=int, default=2000)
+    ap.add_argument("--finetune-lr", type=float, default=1e-3,
+                    help="finetune base LR (decays at 60%%/90%% of the "
+                         "budget); network slimming finetunes at the "
+                         "production rate, not a timid 1e-4 — the r4 first "
+                         "run showed 1e-4*1500 recovers only to -0.10")
+    ap.add_argument("--sparsity", type=float, default=0.01,
+                    help="[train] sparsity (L1 on BN gamma) for the --fresh "
+                         "dense source: channel-importance |gamma| is only "
+                         "meaningful when training pushes unimportant scales "
+                         "toward zero (network slimming, PAPERS.md)")
     ap.add_argument("--steps", type=int, default=6000,
                     help="the step budget the source gate was trained with")
     ap.add_argument("--skip-finetune", action="store_true",
@@ -86,7 +96,8 @@ def main():
         # a 1.7x smaller host->device payload per image
         pin = ["-m", "train/multi_scale_min=416",
                "-m", "train/multi_scale_max=416",
-               "-m", "data/canvas="]
+               "-m", "data/canvas=",
+               "-m", f"train/sparsity={args.sparsity}"]
         overlay = write_overlay(root, data_root, args.steps)
         cfg = ["-c", os.path.join(REPO, "config.ini"), overlay, *pin]
         if cache_main(cfg) != 0:
@@ -138,8 +149,11 @@ def main():
         dense_step + int(args.finetune_steps * 0.9)
     ft_overrides = ch_override + [
         "-m", "model/name=synthgate_darknet_voc_pruned",
-        "-m", "train/learning_rate=1e-4",
+        "-m", f"train/learning_rate={args.finetune_lr}",
         "-m", f"train/milestones={m1},{m2}",
+        # the L1 pull is a training-for-prunability device; finetune wants
+        # pure recovery (and cfg carries the source's sparsity pin)
+        "-m", "train/sparsity=0",
     ]
     ft_dir = os.path.join(root, "artifacts", "model", "category8", "Darknet",
                           "synthgate_darknet_voc_pruned")
@@ -159,8 +173,10 @@ def main():
         "source": {"workspace": root, "model": "darknet", "step": dense_step,
                    "recipe": ("production config pinned to 416 "
                               "(multi_scale 416..416, derived canvas 512), "
-                              f"{args.steps}-step dense source — sound for "
-                              "the RELATIVE recovery criterion; multi-scale "
+                              f"{args.steps}-step dense source trained with "
+                              f"[train] sparsity={args.sparsity} (L1 on BN "
+                              "gamma, network slimming) — sound for the "
+                              "RELATIVE recovery criterion; multi-scale "
                               "robustness is SYNTH_GATE.json's evidence"
                               if args.fresh else
                               "synth_gate.py production multi-scale recipe")},
@@ -170,7 +186,8 @@ def main():
         "map_pruned_416": map_pruned,
         "map_finetuned_416": map_finetuned,
         "recovery_delta": round(map_finetuned - map_dense, 4),
-        "finetune": {"steps": args.finetune_steps, "lr": 1e-4,
+        "sparsity": args.sparsity if args.fresh else 0.0,
+        "finetune": {"steps": args.finetune_steps, "lr": args.finetune_lr,
                      "milestones": [m1, m2],
                      "wall_s": round(time.time() - t0, 1)},
         "criteria": {"max_recovery_deficit": max_deficit},

@@ -162,6 +162,40 @@ def test_optimizer_factories_from_config():
     assert np.isfinite(float(optax.global_norm(updates)))
 
 
+def test_sparsity_l1_hits_only_bn_gamma():
+    """[train] sparsity adds lam*sign(gamma) to BN-scale grads and nothing
+    else (network-slimming prunability training, scripts/prune_gate.py)."""
+    from yolojax.utils.train import add_bn_l1
+
+    lam = 0.25
+    params = {"c1": {"w": jnp.ones((3, 3, 4, 8)),
+                     "gamma": jnp.array([1.0, -2.0, 0.0, 3.0]),
+                     "beta": jnp.zeros((4,))}}
+    grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    tx = add_bn_l1(lam)
+    updates, _ = tx.update(grads, tx.init(params), params)
+    np.testing.assert_allclose(np.asarray(updates["c1"]["gamma"]),
+                               lam * np.sign([1.0, -2.0, 0.0, 3.0]))
+    assert float(jnp.abs(updates["c1"]["w"]).max()) == 0.0
+    assert float(jnp.abs(updates["c1"]["beta"]).max()) == 0.0
+    # and the config path wires it into the sgd factory
+    import configparser
+
+    from yolojax.utils.train import build_optimizer
+
+    config = configparser.ConfigParser()
+    config.add_section("train")
+    config.set("train", "sparsity", "0.25")
+    config.set("train", "learning_rate", "1.0")
+    config.set("train", "momentum", "0.0")
+    config.set("train", "weight_decay", "0.0")
+    opt = build_optimizer(config)
+    updates, _ = opt.update(grads, opt.init(params), params)
+    # sgd with lr 1.0 / no momentum: update == -(grad + lam*sign(gamma))
+    np.testing.assert_allclose(np.asarray(updates["c1"]["gamma"]),
+                               -lam * np.sign([1.0, -2.0, 0.0, 3.0]))
+
+
 def test_fused_augment_step_mesh_matches_single(rng):
     """The augment-fused sharded step equals the unsharded fused step."""
     from yolojax.data.transform import TrainAugment

@@ -47,9 +47,38 @@ def sgd(config) -> optax.GradientTransformation:
     wd = config.getfloat("train", "weight_decay", fallback=5e-4)
     if wd > 0:
         parts.append(optax.add_decayed_weights(wd, mask=_decay_mask))
+    sp = config.getfloat("train", "sparsity", fallback=0.0)
+    if sp > 0:
+        parts.append(add_bn_l1(sp))
     parts.append(optax.sgd(_schedule(config),
                            momentum=config.getfloat("train", "momentum", fallback=0.9)))
     return optax.chain(*parts)
+
+
+def add_bn_l1(lam: float) -> optax.GradientTransformation:
+    """Network-slimming sparsity: ``loss += lam * sum(|gamma|)`` over BN
+    scales, applied as the L1 subgradient ``lam * sign(gamma)`` added to the
+    incoming gradient (SURVEY.md §2.19 / PAPERS.md network slimming: the
+    channel-importance signal |gamma| is only meaningful when training pushes
+    unimportant scales toward zero).  Config: ``[train] sparsity``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("add_bn_l1 requires params")
+        updates = jax.tree_util.tree_map_with_path(
+            lambda path, u, p: u + lam * jnp.sign(p).astype(u.dtype)
+            if str(path[-1]) == "['gamma']" else u,
+            updates, params)
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
 
 
 def adam(config) -> optax.GradientTransformation:
@@ -57,6 +86,9 @@ def adam(config) -> optax.GradientTransformation:
     clip = config.getfloat("train", "clip", fallback=0.0)
     if clip > 0:
         parts.append(optax.clip_by_global_norm(clip))
+    sp = config.getfloat("train", "sparsity", fallback=0.0)
+    if sp > 0:
+        parts.append(add_bn_l1(sp))
     parts.append(optax.adamw(
         _schedule(config),
         weight_decay=config.getfloat("train", "weight_decay", fallback=0.0),
