@@ -79,6 +79,12 @@ def conv_init(key, in_ch: int, out_ch: int, ksize: int, use_bn: bool = True,
 
     params: ``w`` (k, k, in/groups, out) f32 [+ ``b`` when no BN,
     + ``gamma``/``beta`` when BN].  state: BN running ``mean``/``var``.
+
+    NAMING CONTRACT: these literal keys are matched by name elsewhere —
+    ``'w'`` selects conv kernels for weight decay and ``'gamma'`` selects BN
+    scales for the slimming L1 (utils/train.py ``_leaf_is``); renaming either
+    (or introducing a non-BN param called ``gamma``) changes optimizer
+    behavior silently.
     """
     fan_in = ksize * ksize * in_ch // groups
     w = jax.random.normal(key, (ksize, ksize, in_ch // groups, out_ch), jnp.float32)

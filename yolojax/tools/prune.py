@@ -17,16 +17,34 @@ import json
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["prune", "save_channels"]
+__all__ = ["prune", "save_channels", "gamma_concentration"]
+
+
+def _rank_threshold(gammas: np.ndarray, ratio: float) -> float:
+    """|γ| value at the ``ratio``-removal rank: channels >= it are KEPT.
+
+    Rank-based (``np.partition``), not ``np.quantile`` — quantile
+    interpolation at a tie run (e.g. many exactly-zero γ) can land strictly
+    inside the run and silently shift how many channels go.  Ties AT the
+    threshold are kept, so a tie run never removes more than asked.
+    """
+    n_remove = min(int(round(ratio * len(gammas))), len(gammas) - 1)
+    return float(np.partition(gammas, n_remove)[n_remove])
 
 
 def _keep_indices(params, defs, ratio: float, skip: frozenset):
-    """Global |γ| quantile → per-layer kept channel indices (sorted)."""
+    """Global |γ| ranking → per-layer kept channel indices (sorted).
+
+    ``ratio`` is the fraction REMOVED.  (Round-5 fix: this previously
+    thresholded at ``quantile(1 - ratio)``, i.e. KEPT the top ``ratio`` —
+    the exact inverse of the documented contract; the round-4 "40% prune"
+    artifact actually removed 60% of channels.  See DEVNOTES.)
+    """
     prunable = [d for d in defs
                 if d.bn and d.groups == 1 and d.name not in skip]
     gammas = np.concatenate([np.abs(np.asarray(params[d.name]["gamma"]))
                              for d in prunable])
-    threshold = np.quantile(gammas, 1.0 - ratio)
+    threshold = _rank_threshold(gammas, ratio)
     keep = {}
     for d in prunable:
         g = np.abs(np.asarray(params[d.name]["gamma"]))
@@ -37,6 +55,42 @@ def _keep_indices(params, defs, ratio: float, skip: frozenset):
     return keep
 
 
+def _full_width_skip(model, skip=("out",)) -> set:
+    """Layers that must keep full width: the head's final conv (its channels
+    are the anchor fields) plus, under darknet reorg semantics, each conv
+    feeding a reorg — darknet's true reorg reinterprets the (C,H,W) buffer,
+    so output channels mix input channels across rows and per-channel
+    pruning cannot propagate through it (the feeder's 64 channels are <1%
+    of the model's params)."""
+    skip = set(skip)
+    if getattr(model, "reorg_order", "darknet") == "darknet":
+        last_conv = None
+        for op in model.plan:
+            if op[0] == "conv":
+                last_conv = op[1].name
+            elif op[0] == "reorg" and last_conv is not None:
+                skip.add(last_conv)
+    return skip
+
+
+def gamma_concentration(model, params, ratio: float, skip=("out",)) -> float:
+    """Fraction of total prunable |γ| mass held by the KEPT ``1 - ratio``
+    channels under the same global-quantile ranking :func:`prune` uses.
+
+    The network-slimming health signal (VERDICT r4 #3): sparsity training is
+    doing its job when the kept channels concentrate most of the scale mass
+    (→ 1.0 as unimportant γ are pushed to zero); ≈ ``1 - ratio`` means |γ|
+    is uniform and the ranking carries no information.
+    """
+    skip = frozenset(_full_width_skip(model, skip))
+    prunable = [d for d in model.layer_defs
+                if d.bn and d.groups == 1 and d.name not in skip]
+    g = np.concatenate([np.abs(np.asarray(params[d.name]["gamma"]))
+                        for d in prunable])
+    threshold = _rank_threshold(g, ratio)
+    return float(g[g >= threshold].sum() / max(g.sum(), 1e-12))
+
+
 def prune(model, params, state, ratio: float, skip=("out",)):
     """Prune ``ratio`` of BN channels → (params, state, channels dict).
 
@@ -45,19 +99,8 @@ def prune(model, params, state, ratio: float, skip=("out",)):
     fields).
     """
     defs = model.layer_defs
-    skip = set(skip)
+    skip = _full_width_skip(model, skip)
     order = getattr(model, "reorg_order", "darknet")
-    if order == "darknet":
-        # darknet's true reorg reinterprets the (C,H,W) buffer — output
-        # channels mix input channels across rows, so per-channel pruning
-        # cannot propagate through it: the conv feeding each reorg keeps
-        # full width (its 64 channels are <1% of the model's params)
-        last_conv = None
-        for op in model.plan:
-            if op[0] == "conv":
-                last_conv = op[1].name
-            elif op[0] == "reorg" and last_conv is not None:
-                skip.add(last_conv)
     keep = _keep_indices(params, defs, ratio, frozenset(skip))
 
     new_params, new_state, channels = {}, {}, {}

@@ -38,18 +38,34 @@ def _schedule(config):
     return parse_attr(path)(config)
 
 
-def sgd(config) -> optax.GradientTransformation:
-    """SGD + momentum + decoupled weight decay (darknet training recipe)."""
+def _leaf_is(path, name: str) -> bool:
+    """Match a pytree leaf by its dict key (the ONE shared stringly predicate
+    for the param-naming contract: conv kernels are ``'w'``, BN scales are
+    ``'gamma'`` — established where params are created, models/blocks.py
+    ``conv_init``).  Used by both ``_decay_mask`` and ``add_bn_l1`` so a
+    future rename breaks in one place, not silently in one of two."""
+    return str(path[-1]) == f"['{name}']"
+
+
+def _common_parts(config) -> list:
+    """Transform prefix shared by every optimizer factory: global-norm clip
+    (``[train] clip``) and network-slimming BN-γ L1 (``[train] sparsity``)."""
     parts = []
     clip = config.getfloat("train", "clip", fallback=0.0)
     if clip > 0:
         parts.append(optax.clip_by_global_norm(clip))
-    wd = config.getfloat("train", "weight_decay", fallback=5e-4)
-    if wd > 0:
-        parts.append(optax.add_decayed_weights(wd, mask=_decay_mask))
     sp = config.getfloat("train", "sparsity", fallback=0.0)
     if sp > 0:
         parts.append(add_bn_l1(sp))
+    return parts
+
+
+def sgd(config) -> optax.GradientTransformation:
+    """SGD + momentum + decoupled weight decay (darknet training recipe)."""
+    parts = _common_parts(config)
+    wd = config.getfloat("train", "weight_decay", fallback=5e-4)
+    if wd > 0:
+        parts.append(optax.add_decayed_weights(wd, mask=_decay_mask))
     parts.append(optax.sgd(_schedule(config),
                            momentum=config.getfloat("train", "momentum", fallback=0.9)))
     return optax.chain(*parts)
@@ -74,7 +90,7 @@ def add_bn_l1(lam: float) -> optax.GradientTransformation:
             raise ValueError("add_bn_l1 requires params")
         updates = jax.tree_util.tree_map_with_path(
             lambda path, u, p: u + lam * jnp.sign(p).astype(u.dtype)
-            if str(path[-1]) == "['gamma']" else u,
+            if _leaf_is(path, "gamma") else u,
             updates, params)
         return updates, state
 
@@ -82,13 +98,7 @@ def add_bn_l1(lam: float) -> optax.GradientTransformation:
 
 
 def adam(config) -> optax.GradientTransformation:
-    parts = []
-    clip = config.getfloat("train", "clip", fallback=0.0)
-    if clip > 0:
-        parts.append(optax.clip_by_global_norm(clip))
-    sp = config.getfloat("train", "sparsity", fallback=0.0)
-    if sp > 0:
-        parts.append(add_bn_l1(sp))
+    parts = _common_parts(config)
     parts.append(optax.adamw(
         _schedule(config),
         weight_decay=config.getfloat("train", "weight_decay", fallback=0.0),
@@ -102,7 +112,7 @@ def _decay_mask(params):
     import jax
 
     return jax.tree_util.tree_map_with_path(
-        lambda path, _: str(path[-1]) == "['w']", params)
+        lambda path, _: _leaf_is(path, "w"), params)
 
 
 def with_frozen(optimizer: optax.GradientTransformation, params,
