@@ -41,7 +41,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from yolojax.data.synth import CLASSES, generate_coco, generate_voc
+from yolojax.data.synth import CLASSES, generate_coco, generate_voc, make_classes
 
 MODELS = {"darknet": "yolojax.models.darknet.Darknet",
           "mobilenet": "yolojax.models.mobilenet.MobileNet",
@@ -75,23 +75,38 @@ CRITERIA = {
 # by that capacity ratio; the two geometry bounds (letterbox delta, relative
 # size drop) are pipeline invariants and stay shared.
 TINY_MAP_FACTOR = 0.74
+# The ONE justified per-workload delta (VERDICT r4 #1 — 80-class training
+# evidence): YOLOv2's own published accuracy at 80 classes is ×0.57 of its
+# 20-class VOC number under the SAME AP@0.5 protocol (COCO test-dev AP50
+# 44.0 vs VOC2007 76.8, paper Tables 3/5) — more classes split the same
+# capacity and create inter-class confusions.  The 80-class synthetic gate
+# scales the four accuracy floors by that published ratio; geometry bounds
+# stay shared.  FROZEN 2026-08-19 BEFORE the first 80-class run.
+COCO80_MAP_FACTOR = 0.57
 ACCURACY_FLOORS = ("min_map_416", "min_map_544_608", "min_map_320",
                    "min_coco_ap_416")
 
 
-def criteria_for(model: str) -> dict:
+def criteria_for(model: str, num_classes: int = len(CLASSES)) -> dict:
     crit = dict(CRITERIA)
+    factor = 1.0
     if model == "tiny":
+        factor *= TINY_MAP_FACTOR
+    if num_classes >= 80:
+        factor *= COCO80_MAP_FACTOR
+    if factor != 1.0:
         for k in ACCURACY_FLOORS:
-            crit[k] = round(crit[k] * TINY_MAP_FACTOR, 2)
+            crit[k] = round(crit[k] * factor, 2)
     return crit
 
 
 def write_overlay(root: str, data_root: str, steps: int,
-                  fmt: str = "voc", model: str = "darknet") -> str:
-    category = os.path.join(root, "category8")
+                  fmt: str = "voc", model: str = "darknet",
+                  classes: list[str] | None = None) -> str:
+    classes = classes or CLASSES
+    category = os.path.join(root, f"category{len(classes)}")
     with open(category, "w") as f:
-        f.write("\n".join(CLASSES))
+        f.write("\n".join(classes))
     if fmt == "coco":
         cache_lines = f"datasets = yolojax.data.coco\ncoco_root = {data_root}"
         eval_phase = "phase = val\n"
@@ -103,6 +118,16 @@ def write_overlay(root: str, data_root: str, steps: int,
     # tiny-voc.tsv via config/tiny.ini, VERDICT r3 task #8) instead of the
     # k-means re-estimate the other gates exercise end-to-end.
     anchor_line = "" if model == "tiny" else f"anchors = {root}/anchors.tsv\n"
+    # The 80-class synthetic categories are DEFINED by hue (make_classes:
+    # 8 shapes × hue slots 36° apart), so the production ±36° hue jitter
+    # (hue = 0.1) is label noise for this dataset — neighboring same-shape
+    # classes become Bayes-inseparable (observed hue consistent with 2-3
+    # slots) and no model can reach the floors.  Real COCO classes are
+    # hue-jitter-robust; this cap (±14.4°, inside the ±18° slot half-width)
+    # is a property of the synthetic label definition, not a recipe
+    # weakening — recorded in the artifact's recipe string.
+    transform_lines = ("[transform]\nhue = 0.04\n"
+                       if len(classes) >= 80 else "")
     overlay = os.path.join(root, "gate.ini")
     with open(overlay, "w") as f:
         f.write(f"""[config]
@@ -129,7 +154,7 @@ multi_scale_min = 320
 multi_scale_max = 608
 multi_scale_interval = 10
 seed = 0
-[eval]
+{transform_lines}[eval]
 {eval_phase}batch_size = 20
 [summary]
 scalar = 100
@@ -152,6 +177,11 @@ def main():
                          "(coco: BASELINE config 4 chain, VERDICT r2 #2)")
     ap.add_argument("--model", choices=sorted(MODELS), default="darknet",
                     help="backbone (mobilenet: VERDICT r2 #4 convergence gate)")
+    ap.add_argument("--classes", type=int, default=len(CLASSES),
+                    help="synthetic category count (80 = BASELINE config 4's "
+                         "real class count, VERDICT r4 #1: the loss one-hot "
+                         "scatter / class-MSE / anchor re-cluster at scale; "
+                         "requires --format coco)")
     ap.add_argument("--out", default=None,
                     help="artifact name (default SYNTH_GATE[_MODEL][_FMT].json)")
     ap.add_argument("--skip-train", action="store_true",
@@ -160,12 +190,17 @@ def main():
                     help="pass -r to the train CLI (continue an interrupted "
                          "gate from its latest checkpoint)")
     args = ap.parse_args()
+    if args.classes != len(CLASSES) and args.format != "coco":
+        ap.error("--classes requires --format coco (the VOC generator is "
+                 "pinned to the 8 canonical shapes)")
     if args.out is None:
         tag = ""
         if args.model != "darknet":
             tag += f"_{args.model.upper()}"
         if args.format != "voc":
             tag += f"_{args.format.upper()}"
+        if args.classes != len(CLASSES):
+            tag += f"{args.classes}"
         args.out = f"SYNTH_GATE{tag}.json"
 
     from yolojax.cli import make_parser, setup
@@ -177,13 +212,15 @@ def main():
 
     root = args.root
     os.makedirs(root, exist_ok=True)
+    class_names, _ = make_classes(args.classes)
     if args.format == "coco":
-        data_root = generate_coco(root, args.images, num_classes=len(CLASSES),
+        data_root = generate_coco(root, args.images, num_classes=args.classes,
                                   crowd_frac=0.03)
     else:
         data_root = generate_voc(root, args.images)
     overlay = write_overlay(root, data_root, args.steps,
-                            fmt=args.format, model=args.model)
+                            fmt=args.format, model=args.model,
+                            classes=class_names)
     base = os.path.join(REPO, "config.ini")
     cfg = ["-c", base]
     # stack the backbone's shipped overlay (its own optimizer recipe —
@@ -246,7 +283,7 @@ def main():
           f"(AP50 {coco_ap['ap50']:.4f}, AP75 {coco_ap['ap75']:.4f})",
           flush=True)
 
-    crit = criteria_for(args.model)
+    crit = criteria_for(args.model, args.classes)
     stretch = [results[f"stretch_{s}"] for s in (320, 416, 544, 608)]
     spread = max(stretch) - min(stretch)
     lb_delta = max(abs(results[f"letterbox_{s}"] - results[f"stretch_{s}"])
@@ -260,16 +297,24 @@ def main():
           and lb_delta <= crit["max_lb_delta"]
           and small_drop <= crit["max_small_size_drop"])
     out = {
-        "dataset": {"images": args.images, "classes": len(CLASSES),
+        "dataset": {"images": args.images, "classes": args.classes,
                     "format": args.format, "occlusion_iou_cap": 0.45,
                     "objects_per_image": "2-6"},
         "train": {"model": args.model, "steps": args.steps,
+                  "num_classes": args.classes,
                   "recipe": "production config.ini"
                   + (f" + config/{args.model}.ini" if args.model != "darknet"
                      else "")
                   + " (multi-scale 320..608, warmup, bf16; optimizer per "
-                    "overlay — darknet/tiny sgd+momentum+wd, mobilenet adam)",
-                  "wall_s": round(train_s, 1), "step": int(meta.get("step", 0) or 0)},
+                    "overlay — darknet/tiny sgd+momentum+wd, mobilenet adam)"
+                  + (" + hue jitter capped 0.04: the 80 synthetic classes "
+                     "are hue-defined 36° apart, so the production ±36° "
+                     "jitter is label noise for this dataset"
+                     if args.classes >= 80 else ""),
+                  # --skip-train measures no training; never record its ~0.2s
+                  # pipeline residue as a train wall time (VERDICT r4 weak #6)
+                  "wall_s": None if args.skip_train else round(train_s, 1),
+                  "step": int(meta.get("step", 0) or 0)},
         "map": results,
         "coco_ap_416_stretch": coco_ap,
         "stretch_spread_across_sizes": round(spread, 4),
@@ -303,10 +348,33 @@ def main():
                    "min_map_320": 0.80, "min_coco_ap_416": 0.50,
                    "max_lb_delta": 0.06, "max_small_size_drop": 0.125,
                    "tiny_accuracy_floor_factor": TINY_MAP_FACTOR},
+            # round 5 (VERDICT r4 #1): the 80-class gate scales the four
+            # accuracy floors by the paper's OWN published 20→80-class
+            # ratio under the same AP@0.5 protocol (COCO test-dev AP50 44.0
+            # vs VOC2007 76.8 → ×0.57), frozen 2026-08-19 before the first
+            # 80-class training run.  Geometry bounds stay shared.
+            "r5": {"coco80_accuracy_floor_factor": COCO80_MAP_FACTOR},
         },
         "pass": bool(ok),
     }
-    with open(os.path.join(REPO, args.out), "w") as f:
+    out_path = os.path.join(REPO, args.out)
+    if args.skip_train and os.path.exists(out_path):
+        # re-evals APPEND, never clobber training provenance (VERDICT r4
+        # weak #6): the original train block survives verbatim; this run's
+        # results land both at top level (current state, really measured)
+        # and as a dated reevals[] entry.
+        with open(out_path) as f:
+            prior = json.load(f)
+        if "train" in prior:
+            out["train"] = prior["train"]
+        out["reevals"] = prior.get("reevals", []) + [{
+            "date": time.strftime("%Y-%m-%d"),
+            "criteria": crit,
+            "map": results,
+            "coco_ap_416_stretch": coco_ap,
+            "pass": bool(ok),
+        }]
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
     return 0 if ok else 1

@@ -64,23 +64,24 @@ def make_classes(n: int) -> tuple[list[str], list[tuple]]:
     """``n`` synthetic classes (names + base colors).
 
     Beyond the 8 canonical shape classes, class ``i`` draws shape ``i % 8``
-    in a distinct hue from an evenly spaced wheel — so an 80-class COCO-style
-    dataset (BASELINE config 4) has learnable (shape, color) signatures.
+    in hue slot ``i // 8`` of an evenly split wheel — so an 80-class
+    COCO-style dataset (BASELINE config 4) has learnable (shape, hue)
+    signatures where same-shape classes are separated by a full 360/ceil(n/8)
+    degrees (36° at n=80; the per-instance brightness jitter in _gen_image
+    scales RGB, which preserves hue — the class signal survives it).
     """
     import colorsys
+    import math
 
     if n <= len(CLASSES):
         return CLASSES[:n], [_BASE_COLOR[c] for c in CLASSES[:n]]
+    slots = math.ceil(n / len(CLASSES))
     names, colors = [], []
     for i in range(n):
         shape = CLASSES[i % len(CLASSES)]
         names.append(f"{shape}_{i}" if i >= len(CLASSES) else shape)
-        if i < len(CLASSES):
-            colors.append(_BASE_COLOR[shape])
-        else:
-            r, g, b = colorsys.hsv_to_rgb((i * 0.61803) % 1.0,
-                                          0.6 + 0.4 * ((i // 13) % 2), 0.92)
-            colors.append((int(r * 255), int(g * 255), int(b * 255)))
+        r, g, b = colorsys.hsv_to_rgb((i // len(CLASSES)) / slots, 0.9, 0.95)
+        colors.append((int(r * 255), int(g * 255), int(b * 255)))
     return names, colors
 
 
