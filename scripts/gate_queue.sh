@@ -27,6 +27,26 @@ for job in "$@"; do
     prune)
       python -u scripts/prune_gate.py --fresh --steps 3000 \
         --root "$REPO/.gate/prune" >> .gate/logs/prune_gate.log 2>&1 ;;
+    prune5)
+      # round-5 prune gate: corrected ratio semantics + equal-budget
+      # scratch control + sparsity-λ sweep (VERDICT r4 #3)
+      args=()
+      [ "${SKIP_FINETUNE:-0}" = 1 ] && args+=(--skip-finetune)
+      python -u scripts/prune_gate.py --fresh --steps 3000 \
+        --scratch-control --sweep 0.05,0.1 \
+        --root "$REPO/.gate/prune5" "${args[@]}" \
+        >> .gate/logs/prune5_gate.log 2>&1 ;;
+    coco80)
+      # 80-class training gate (VERDICT r4 #1): BASELINE config 4's class
+      # count through generate → cache → k-means → 6000-step train → eval
+      args=()
+      [ "${RESUME:-0}" = 1 ] && args+=(--resume)
+      python -u scripts/synth_gate.py --format coco --classes 80 \
+        --images 1600 --root "$REPO/.gate/coco80" "${args[@]}" \
+        >> .gate/logs/coco80_gate.log 2>&1 ;;
+    bench05)
+      python -u scripts/bench_all.py --round 05 \
+        >> .gate/logs/bench05.log 2>&1 ;;
     *) echo "unknown job: $job" ;;
   esac
   echo "=== $job done rc=$? $(date -u '+%F %T') ==="

@@ -72,8 +72,30 @@ def main():
                          "darknet pinned to 416 for --steps")
     ap.add_argument("--images", type=int, default=600,
                     help="--fresh: synthetic dataset size")
+    ap.add_argument("--scratch-control", action="store_true",
+                    help="equal-budget control (VERDICT r4 #3a): train the "
+                         "PRUNED architecture from random init for "
+                         "--finetune-steps at the identical finetune LR "
+                         "schedule — measures whether pruned-init actually "
+                         "beats scratch, or honestly refutes it")
+    ap.add_argument("--sweep", default="",
+                    help="comma-separated extra sparsity λ values (VERDICT "
+                         "r4 #3b): for each, train another dense source on "
+                         "the same cache, record BN-γ mass concentration in "
+                         "the kept channels and the pre-finetune pruned mAP "
+                         "(no finetune — the sweep probes the L1's effect "
+                         "on prunability, not recovery)")
     ap.add_argument("--out", default="SYNTH_GATE_PRUNE.json")
     args = ap.parse_args()
+    if args.sparsity > 0 and not args.fresh:
+        # --sparsity configures the dense SOURCE training, which only happens
+        # under --fresh; silently running the known-weaker recipe (r4: a 40%
+        # cut of a non-sparsity-trained source is unrecoverable at the old
+        # LR) would mislabel the artifact (ADVICE r4 #2)
+        ap.error("--sparsity only takes effect with --fresh (it sets "
+                 "[train] sparsity for the dense source training); reusing "
+                 "an existing workspace keeps however that source was "
+                 "trained — pass --sparsity 0 to acknowledge, or --fresh")
 
     from yolojax.cli import make_parser, setup
     from yolojax.cli.eval import run_eval
@@ -165,6 +187,84 @@ def main():
     map_finetuned, ft_step = eval_416(ft_overrides)
     print(f"finetuned mAP@0.5 @416: {map_finetuned:.4f} (step {ft_step})", flush=True)
 
+    from yolojax.tools.prune import gamma_concentration
+
+    def load_params(extra):
+        a = make_parser("prune gate load").parse_args(cfg + extra)
+        c = setup(a)
+        _, _, mdl = build(c)
+        p, s, meta = load_weights_auto(c, mdl, None, resume=True)
+        return mdl, p
+
+    # equal-budget scratch control (VERDICT r4 #3a): same pruned
+    # architecture, same step budget, same LR schedule — only the init
+    # differs (random vs pruned-from-dense).  Measures, rather than assumes,
+    # that slimming transfers useful weights.
+    scratch_control = None
+    if args.scratch_control:
+        s1, s2 = int(args.finetune_steps * 0.6), int(args.finetune_steps * 0.9)
+        sc_overrides = ch_override + [
+            "-m", "model/name=synthgate_darknet_voc_scratch",
+            "-m", f"train/learning_rate={args.finetune_lr}",
+            "-m", f"train/milestones={s1},{s2}",
+            "-m", "train/sparsity=0",
+        ]
+        if not args.skip_finetune:
+            subprocess.run([sys.executable, os.path.join(REPO, "train.py"),
+                            *cfg, *sc_overrides,
+                            "--steps", str(args.finetune_steps)], check=True)
+        map_scratch, sc_step = eval_416(sc_overrides)
+        print(f"scratch   mAP@0.5 @416: {map_scratch:.4f} (step {sc_step}, "
+              f"equal budget)", flush=True)
+        scratch_control = {
+            "map_scratch_416": map_scratch, "steps": args.finetune_steps,
+            "lr": args.finetune_lr, "milestones": [s1, s2],
+            "architecture": "pruned (same channels.json)",
+            "pruned_init_beats_scratch": bool(map_finetuned > map_scratch),
+        }
+
+    # sparsity-λ sweep (VERDICT r4 #3b): per λ, a fresh dense source on the
+    # SAME cache/anchors, then γ-mass concentration in the kept channels and
+    # the pre-finetune pruned mAP — the direct evidence that the L1 knob
+    # creates prunability (network slimming), separate from finetune power.
+    sweep = []
+    main_model, main_params = load_params([])
+    sweep.append({
+        "sparsity": args.sparsity,
+        "gamma_mass_kept": round(gamma_concentration(
+            main_model, main_params, args.ratio), 4),
+        "map_dense_416": map_dense,
+        "map_pruned_416_prefinetune": map_pruned,
+        "source": "main",
+    })
+    for lam_s in [s for s in args.sweep.split(",") if s.strip()]:
+        lam = float(lam_s)
+        tag = lam_s.strip().replace(".", "p")
+        sw_overrides = ["-m", f"model/name=synthgate_darknet_voc_sw{tag}",
+                        "-m", f"train/sparsity={lam}"]
+        if not args.skip_finetune:
+            subprocess.run([sys.executable, os.path.join(REPO, "train.py"),
+                            *cfg, *sw_overrides,
+                            "--steps", str(args.steps)], check=True)
+        sw_dense, sw_step = eval_416(sw_overrides)
+        sw_model, sw_params = load_params(sw_overrides)
+        conc = gamma_concentration(sw_model, sw_params, args.ratio)
+        sw_pruned_dir = os.path.join(root, f"pruned_sw{tag}")
+        if prune_main(cfg + sw_overrides + ["--ratio", str(args.ratio),
+                                            "-o", sw_pruned_dir]) != 0:
+            raise SystemExit(f"prune gate: sweep λ={lam} prune failed")
+        sw_ckpt = os.path.join(sw_pruned_dir, f"{sw_step}.npz")
+        sw_ch = ["-m", f"model/channels={os.path.join(sw_pruned_dir, 'channels.json')}"]
+        sw_map_pruned, _ = eval_416(sw_overrides + sw_ch, resume=False,
+                                    fil=sw_ckpt)
+        print(f"sweep λ={lam}: dense {sw_dense:.4f}, γ-mass kept "
+              f"{conc:.4f}, pruned (pre-finetune) {sw_map_pruned:.4f}",
+              flush=True)
+        sweep.append({"sparsity": lam, "gamma_mass_kept": round(conc, 4),
+                      "map_dense_416": sw_dense,
+                      "map_pruned_416_prefinetune": sw_map_pruned,
+                      "source": f"sw{tag} ({args.steps} steps, same cache)"})
+
     max_deficit = 0.03
     ok = (map_finetuned >= map_dense - max_deficit) and ft_step >= total
     with open(channels) as f:
@@ -181,6 +281,11 @@ def main():
                               if args.fresh else
                               "synth_gate.py production multi-scale recipe")},
         "ratio": args.ratio,
+        # round-5 semantics fix (tools/prune.py): ratio is now really the
+        # fraction REMOVED; before the fix it was the fraction KEPT, so the
+        # round-4 artifact's "0.4 prune" actually removed 60% of channels
+        "ratio_semantics": "fraction of prunable channels REMOVED "
+                           "(r5 fix; the r4 run's 0.4 removed 60%)",
         "channels_kept": n_kept,
         "map_dense_416": map_dense,
         "map_pruned_416": map_pruned,
@@ -190,6 +295,8 @@ def main():
         "finetune": {"steps": args.finetune_steps, "lr": args.finetune_lr,
                      "milestones": [m1, m2],
                      "wall_s": round(time.time() - t0, 1)},
+        "scratch_control": scratch_control,
+        "sparsity_sweep": sweep,
         "criteria": {"max_recovery_deficit": max_deficit},
         "pass": bool(ok),
     }
