@@ -40,6 +40,12 @@ def main():
                     default="tiny",
                     help="darknet puts the flagship's passthrough "
                          "(reorg+concat) on the pod mesh (VERDICT r3 #1)")
+    ap.add_argument("--device-dataset", action="store_true",
+                    help="feed batches through DeviceDataset instead of the "
+                         "Loader: executes its process_count>1 branch for "
+                         "real — the make_array_from_callback replicated "
+                         "upload and the jitted gather fed host-numpy "
+                         "indices over a multi-process mesh (VERDICT r4 #2)")
     args = ap.parse_args()
 
     import jax
@@ -70,8 +76,14 @@ def main():
     with open(args.records, "rb") as f:
         records = pickle.load(f)
     dataset = Dataset(records, canvas=args.canvas, max_boxes=5)
-    loader = Loader(dataset, args.local_batch, workers=1, seed=0,
-                    shard=(jax.process_index(), jax.process_count()))
+    if args.device_dataset:
+        from yolojax.data.device_cache import DeviceDataset
+        from yolojax.parallel.mesh import make_mesh
+        pod_mesh = make_mesh()
+        loader = DeviceDataset(dataset, pod_mesh, args.local_batch, seed=0)
+    else:
+        loader = Loader(dataset, args.local_batch, workers=1, seed=0,
+                        shard=(jax.process_index(), jax.process_count()))
 
     anchors = np.asarray([[1.0, 1.0], [3.0, 3.0]], np.float32)
     cls = {"tiny": Tiny, "darknet": Darknet, "mobilenet": MobileNet}[args.backbone]
@@ -93,9 +105,14 @@ def main():
     it = iter(loader)
     for i in range(args.steps):
         host_batch = next(it)
-        batch = shard_host_batch(mesh, {
-            k: host_batch[k] for k in
-            ("canvas", "hw", "yx_min", "yx_max", "cls", "valid")})
+        if args.device_dataset:
+            # DeviceDataset batches are already global device arrays with
+            # the batch sharding — no host assembly step
+            batch = host_batch
+        else:
+            batch = shard_host_batch(mesh, {
+                k: host_batch[k] for k in
+                ("canvas", "hw", "yx_min", "yx_max", "cls", "valid")})
         params, state, opt_state, metrics = step(
             params, state, opt_state, batch, jnp.int32(0),
             jax.random.PRNGKey(100 + i), args.size)
