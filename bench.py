@@ -262,21 +262,35 @@ keep = 1
         phases = np.zeros(3)  # host, transfer, step (seconds)
         t0 = None
         t_host0 = time.perf_counter()
-        source = t.device_data if devdata else t.loader
+        keys = ("canvas", "hw", "yx_min", "yx_max", "cls", "valid")
+        if devdata:
+            source = t.device_data
+        elif decomp:
+            source = t.loader  # host batches; each phase serialized below
+        else:
+            # the production pipelined path (SURVEY §7 double-buffer,
+            # cli/train.py device_batches): puts for batch k+1 issue on a
+            # side thread while step k computes — the headline measures
+            # overlap, not the phase sum
+            from yolojax.data.loader import overlap_device_puts
+            from yolojax.parallel.mesh import batch_sharding
+
+            sharding = batch_sharding(t.mesh)
+            source = overlap_device_puts(
+                iter(t.loader),
+                lambda b: jax.device_put({k: b[k] for k in keys}, sharding))
         for b in source:
             t_host = time.perf_counter()
             key = jax.random.fold_in(t.key, it)
-            if devdata:  # batch already gathered on-device, nothing to ship
+            if decomp and not devdata:
+                # single-process shard_host_batch is a no-op (host numpy,
+                # shipped at dispatch): put explicitly so the wire time is
+                # attributed to the transfer column, not the device step
+                dev = jax.device_put(shard_host_batch(
+                    t.mesh, {k: b[k] for k in keys}))
+            else:  # already device arrays (devdata gather / overlap thread)
                 dev = b
-            else:
-                dev = shard_host_batch(t.mesh, {
-                    k: b[k] for k in ("canvas", "hw", "yx_min", "yx_max", "cls", "valid")})
             if decomp:
-                if not devdata:
-                    # single-process shard_host_batch is a no-op (host numpy,
-                    # shipped at dispatch): put explicitly so the wire time is
-                    # attributed to the transfer column, not the device step
-                    dev = jax.device_put(dev)
                 if t0 is not None:
                     # devdata: this forces the on-device gather instead —
                     # the "transfer" column then reads HBM copy, not wire
@@ -317,7 +331,9 @@ keep = 1
                 "tunnel_wire_MB_per_s": (None if devdata else
                                          round(batch_mb / ms[1] * 1000, 1)),
                 "device_dataset": devdata,
-                "note": "serialized phases; pipelined rate is the metric"},
+                "note": "headline is the SERIALIZED end-to-end rate (phase "
+                        "sum); device_only_img_per_s is the pipelining "
+                        "headroom"},
             ), file=sys.stderr, flush=True)
         return iters * batch / (time.perf_counter() - t0)
     finally:

@@ -243,3 +243,71 @@ def test_frozen_layers_receive_no_updates(rng):
     np.testing.assert_array_equal(np.asarray(params["c1"]["w"]), before["c1"])
     np.testing.assert_array_equal(np.asarray(params["c2"]["w"]), before["c2"])
     assert not np.array_equal(np.asarray(params["c7"]["w"]), before["c7"])
+
+
+def _canvas_batches(rng, n, b=8, c=96, g=3):
+    batches = []
+    for _ in range(n):
+        center = rng.uniform(0.3, 0.7, (b, g, 2)).astype(np.float32)
+        half = rng.uniform(0.05, 0.2, (b, g, 2)).astype(np.float32)
+        batches.append({
+            "canvas": rng.integers(0, 255, (b, c, c, 3), dtype=np.uint8),
+            "hw": np.full((b, 2), 80, np.float32),
+            "yx_min": np.clip(center - half, 0, 1),
+            "yx_max": np.clip(center + half, 0, 1),
+            "cls": rng.integers(0, 4, (b, g)).astype(np.int32),
+            "valid": np.ones((b, g), bool),
+        })
+    return batches
+
+
+def test_overlap_device_puts_matches_serial(rng):
+    """The double-buffered put thread (SURVEY §7 "overlap with compute via
+    prefetch; double-buffer", VERDICT r4 #4) is a pure pipelining change:
+    N steps through overlap_device_puts produce bit-identical params to the
+    serial inline-put loop on the same host batches."""
+    from yolojax.data.loader import overlap_device_puts
+    from yolojax.data.transform import TrainAugment
+
+    aug = TrainAugment(hsv=False)
+    size, seen = 64, jnp.int32(0)
+    batches = _canvas_batches(rng, 5)
+    mesh = make_mesh(8)
+    sharding = batch_sharding(mesh)
+
+    def run(source):
+        model, params, state, opt, opt_state = build()
+        step = make_train_step(model, opt, WEIGHTS, LossConfig(),
+                               mesh=mesh, augment=aug)
+        for i, dev in enumerate(source):
+            params, state, opt_state, _ = step(
+                params, state, opt_state, dev, seen,
+                jax.random.PRNGKey(100 + i), size)
+        return jax.tree_util.tree_map(np.asarray, jax.device_get(params))
+
+    serial = run(jax.device_put(b, sharding) for b in batches)
+    overlapped = run(overlap_device_puts(
+        iter(batches), lambda b: jax.device_put(b, sharding)))
+
+    flat_s = {jax.tree_util.keystr(k): v for k, v
+              in jax.tree_util.tree_flatten_with_path(serial)[0]}
+    flat_o = {jax.tree_util.keystr(k): v for k, v
+              in jax.tree_util.tree_flatten_with_path(overlapped)[0]}
+    for name in flat_s:
+        np.testing.assert_array_equal(flat_s[name], flat_o[name],
+                                      err_msg=f"param {name} diverged")
+
+
+def test_overlap_device_puts_propagates_errors():
+    """A failing source (bad record mid-epoch) must re-raise at the consumer,
+    not hang the queue or silently truncate — same contract as Loader.epoch."""
+    from yolojax.data.loader import overlap_device_puts
+
+    def source():
+        yield {"x": np.zeros(3)}
+        raise ValueError("bad record")
+
+    it = overlap_device_puts(source(), lambda b: b, depth=2)
+    next(it)
+    with pytest.raises(ValueError, match="bad record"):
+        next(it)

@@ -33,11 +33,12 @@ import numpy as np
 from .. import config as _config
 from ..data.cache import load_cache
 from ..data.dataset import Dataset
-from ..data.loader import Loader
+from ..data.loader import Loader, overlap_device_puts
 from ..data.transform import TrainAugment
 from ..ops.loss import LossConfig
-from ..parallel.mesh import (loss_weights_from_config, make_mesh_for_batch,
-                             make_train_step, shard_host_batch)
+from ..parallel.mesh import (batch_sharding, loss_weights_from_config,
+                             make_mesh_for_batch, make_train_step,
+                             shard_host_batch)
 from ..utils import checkpoint as ckpt
 from ..utils.metrics import Meter, Summary
 from ..utils.train import build_optimizer
@@ -197,6 +198,30 @@ class Train:
                                   size).compile()
             _LOG.info("prewarmed size %d (%.1fs)", size, time.time() - t0)
 
+    def device_batches(self):
+        """Device-resident batch stream for the hot loop.
+
+        DeviceDataset: batches are assembled on-device already (the loop
+        ships indices).  Loader path: host batches are double-buffered onto
+        the mesh by a background put thread (``overlap_device_puts``) so
+        batch k+1's host→device transfer overlaps step k's compute — the
+        last SURVEY §7 line ("overlap with compute via prefetch;
+        double-buffer", VERDICT r4 #4).  The batch is NOT donated by the
+        step, so a prefetched buffer is never aliased by an in-flight
+        update.
+        """
+        if self.device_data is not None:
+            return iter(self.device_data)
+        keys = ("canvas", "hw", "yx_min", "yx_max", "cls", "valid")
+        if jax.process_count() == 1:
+            sharding = batch_sharding(self.mesh)
+            put = lambda b: jax.device_put({k: b[k] for k in keys}, sharding)
+        else:
+            # multi-process: global-array assembly, still off-thread
+            put = lambda b: shard_host_batch(self.mesh,
+                                             {k: b[k] for k in keys})
+        return overlap_device_puts(iter(self.loader), put)
+
     def save(self, tag: str = ""):
         path = self.saver(time.time(), self.step,
                           {"params": self.params, "state": self.state,
@@ -239,20 +264,14 @@ class Train:
         self.prewarm()
         _LOG.info("training %d steps (%d/epoch), %d devices, sizes %s",
                   total, self.steps_per_epoch, len(self.mesh.devices.ravel()), self.sizes)
-        source = self.device_data if self.device_data is not None else self.loader
+        source = self.device_batches()
         try:
-            for batch in source:
+            for dev_batch in source:
                 if self.step >= total:
                     break
                 if self.step % self.interval == 0:
                     size = int(self.rng.choice(self.sizes))
                 key = jax.random.fold_in(self.key, self.step)
-                if self.device_data is not None:  # already gathered on-device
-                    dev_batch = batch
-                else:
-                    dev_batch = shard_host_batch(self.mesh, {
-                        k: batch[k] for k in
-                        ("canvas", "hw", "yx_min", "yx_max", "cls", "valid")})
                 self.params, self.state, self.opt_state, metrics = self.train_step(
                     self.params, self.state, self.opt_state, dev_batch,
                     jnp.int32(min(self.seen, 2**31 - 1)), key, size)
@@ -283,15 +302,17 @@ class Train:
                     self.summary.histogram(self.step, metrics["grads"], "grads/")
                 if self.summary.due("image", self.step):
                     # rerun the (cheap) standalone augment for visualization
+                    # (dev_batch leaves are device arrays — fine as jit
+                    # inputs, and np.asarray pulls just the sliced row)
                     images, bmin, bmax, bvalid = self.augment(
-                        key, batch["canvas"][:1], batch["hw"][:1],
-                        batch["yx_min"][:1], batch["yx_max"][:1],
-                        batch["valid"][:1], size)
+                        key, dev_batch["canvas"][:1], dev_batch["hw"][:1],
+                        dev_batch["yx_min"][:1], dev_batch["yx_max"][:1],
+                        dev_batch["valid"][:1], size)
                     v = np.asarray(bvalid[0])
                     drawn = draw_boxes(np.asarray(images[0], np.float32),
                                        np.asarray(bmin[0])[v],
                                        np.asarray(bmax[0])[v],
-                                       np.asarray(batch["cls"][0])[v],
+                                       np.asarray(dev_batch["cls"][0])[v],
                                        category=self.category)
                     self.summary.image(self.step, "train/augmented", drawn / 255.0)
                 if self.saver.due(time.time()):

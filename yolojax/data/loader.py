@@ -23,7 +23,7 @@ import numpy as np
 
 from .dataset import collate
 
-__all__ = ["Loader", "prefetch_to_device"]
+__all__ = ["Loader", "overlap_device_puts", "prefetch_to_device"]
 
 
 class Loader:
@@ -99,3 +99,41 @@ def prefetch_to_device(iterator, size: int = 2):
         if len(buf) == size:
             yield buf.pop(0)
     yield from buf
+
+
+def overlap_device_puts(iterator, put, depth: int = 2):
+    """Issue host→device puts for UPCOMING batches on a background thread
+    (SURVEY.md §7 "overlap with compute via prefetch; double-buffer").
+
+    Dispatching the put from the consumer thread serializes the wire send
+    with the device step it precedes: single-process ``shard_host_batch`` is
+    a no-op, so jit ships the host numpy synchronously at dispatch, and an
+    explicit ``device_put`` can itself block on the send (through the axon
+    tunnel it does).  Issued from a side thread, batch k+1's transfer rides
+    while step k computes — the pipelined batch period approaches
+    max(transfer, step) instead of their sum.
+
+    ``put`` maps one host batch to (sharded) device arrays; ``depth`` bounds
+    in-flight device batches (2 = classic double buffering).  Exceptions
+    from the source or the put re-raise at the consumer, same contract as
+    :meth:`Loader.epoch`.
+    """
+    stop = object()
+    q: queue.Queue = queue.Queue(maxsize=depth)
+
+    def produce():
+        try:
+            for batch in iterator:
+                q.put(put(batch))
+            q.put(stop)
+        except BaseException as exc:
+            q.put(exc)
+
+    threading.Thread(target=produce, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is stop:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
