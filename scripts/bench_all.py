@@ -27,8 +27,16 @@ JOBS = [
     ("TRAIN", {"BENCH_MODE": "train"}),
     ("MOBILENET_TRAIN", {"BENCH_MODE": "train", "BENCH_MODEL": "mobilenet"}),
     ("TINY_TRAIN", {"BENCH_MODE": "train", "BENCH_MODEL": "tiny"}),
-    ("E2E", {"BENCH_MODE": "e2e", "BENCH_BATCH": "32", "BENCH_ITERS": "10",
-             "BENCH_E2E_DECOMP": "1"}),
+    # pipelined production loop (SURVEY §7 "overlap with compute via
+    # prefetch; double-buffer", VERDICT r4 #4): the e2e headline, with batch
+    # k+1's host->device transfer riding while step k computes — per the
+    # decomposition it should approach max(transfer, device_step)
+    ("E2E", {"BENCH_MODE": "e2e", "BENCH_BATCH": "32", "BENCH_ITERS": "10"}),
+    # serialized per-phase attribution (host/transfer/device) of the same
+    # loop — E2E's diagnostic pair, each phase gated by a fetch, so its
+    # rate deliberately reads the phase SUM, not the pipeline
+    ("E2E_DECOMP", {"BENCH_MODE": "e2e", "BENCH_BATCH": "32",
+                    "BENCH_ITERS": "10", "BENCH_E2E_DECOMP": "1"}),
     # same production loop with the device-resident dataset cache: the
     # working set uploads once and batches gather on-device, so e2e
     # converges to the device rate even behind a starved host/wire
