@@ -252,3 +252,82 @@ def test_warmup_term_gates_on_seen(rng):
     late = region_loss(raw, anchors, gt_min, gt_max, gt_cls, gt_valid, cfg.warmup_seen, cfg)
     assert float(early["prior"]) > 0
     assert float(late["prior"]) == 0
+
+
+def test_class_grad_darknet_value_matches_mse(rng):
+    """The reported cls VALUE is the squared error under both gradient modes."""
+    raw, anchors, gt_min, gt_max, gt_cls, gt_valid = make_case(rng, c=80, g=4)
+    a = region_loss(raw, anchors, gt_min, gt_max, gt_cls, gt_valid, 1 << 30,
+                    LossConfig(class_grad="darknet"))
+    b = region_loss(raw, anchors, gt_min, gt_max, gt_cls, gt_valid, 1 << 30,
+                    LossConfig(class_grad="mse"))
+    for k in a:
+        np.testing.assert_allclose(float(a[k]), float(b[k]), rtol=1e-5, err_msg=k)
+
+
+def test_class_grad_darknet_is_delta_on_logits(rng):
+    """d cls / d class-logits == pos * (softmax(prob) - onehot) exactly —
+    darknet region_layer's delta, no softmax Jacobian."""
+    import jax
+    import jax.numpy as jnp
+
+    raw, anchors, gt_min, gt_max, gt_cls, gt_valid = make_case(rng, b=1, c=7, g=3)
+    cfg = LossConfig(class_grad="darknet")
+
+    def cls_of(r):
+        return region_loss(r, anchors, gt_min, gt_max, gt_cls, gt_valid, 1 << 30, cfg)["cls"]
+
+    g = np.asarray(jax.grad(cls_of)(raw))[0]
+    b, h, w, ch = raw.shape
+    a = anchors.shape[0]
+    per = ch // a
+    c = per - 5
+    x = raw[0].reshape(h, w, a, per).reshape(-1, per)
+    prob = np.asarray(jax.nn.softmax(jnp.asarray(x[:, 5:]), axis=-1))
+    # rebuild the positive mask + scattered one-hot target via the mse-mode
+    # gradient's support (non-zero rows are exactly the positives)
+    g_cls = g.reshape(h, w, a, per).reshape(-1, per)[:, 5:]
+    for i in range(g_cls.shape[0]):
+        row = g_cls[i]
+        if np.abs(row).sum() == 0:
+            continue  # negative anchor: no class gradient
+        # positive: row must equal prob - onehot for SOME class
+        diffs = [np.abs(row - (prob[i] - np.eye(c)[k])).max() for k in range(c)]
+        assert min(diffs) < 1e-5
+    # mean over batch=1 only; at least one positive must exist in this case
+    assert np.abs(g_cls).sum() > 0
+
+
+def test_class_grad_trainability_c80(rng):
+    """The round-5 coco80 postmortem, frozen as a unit test: at C=80 the
+    darknet class delta escapes the uniform-softmax plateau in a few dozen
+    steps, while true MSE-through-softmax measurably stalls there (the
+    gradient is ~2*p_true*(1-p_true)^2 ~ 1/C).  Optimizes the raw head
+    activations directly — no network, CPU-fast."""
+    import jax
+
+    raw, anchors, gt_min, gt_max, gt_cls, gt_valid = make_case(rng, b=1, c=80, g=4)
+    raw = np.zeros_like(raw)  # uniform softmax: the observed plateau
+    gt_valid = np.ones_like(gt_valid)
+
+    def train(mode, steps=300, lr=0.1):
+        cfg = LossConfig(class_grad=mode)
+
+        def f(r):
+            return region_loss(r, anchors, gt_min, gt_max, gt_cls, gt_valid,
+                               1 << 30, cfg)["cls"]
+
+        grad = jax.jit(jax.grad(f))
+        r = raw
+        first = float(region_loss(r, anchors, gt_min, gt_max, gt_cls, gt_valid,
+                                  1 << 30, cfg)["cls"])
+        for _ in range(steps):
+            r = r - lr * np.asarray(grad(r))
+        last = float(region_loss(r, anchors, gt_min, gt_max, gt_cls, gt_valid,
+                                 1 << 30, cfg)["cls"])
+        return first, last
+
+    f0, f_darknet = train("darknet")
+    _, f_mse = train("mse")
+    assert f_darknet < 0.25 * f0, (f0, f_darknet)
+    assert f_mse > 0.80 * f0, (f0, f_mse)

@@ -146,7 +146,8 @@ class Train:
         loss_cfg = LossConfig(
             ignore_threshold=config.getfloat("loss", "threshold", fallback=0.6),
             rescore=config.getboolean("loss", "rescore", fallback=True),
-            warmup_seen=config.getint("train", "warmup_seen", fallback=12800))
+            warmup_seen=config.getint("train", "warmup_seen", fallback=12800),
+            class_grad=config.get("loss", "class_grad", fallback="darknet"))
         self.augment = TrainAugment.from_config(config)
         # augmentation is fused INTO the sharded step: one executable per
         # bucketed size, preprocessing data-parallel across the mesh

@@ -11,8 +11,10 @@ torch (reference ``model/__init__.py: Loss`` (recon)):
 2. **Positive terms** (per matched anchor, all MSE): coordinates in transform
    space — ``(sigmoid(t_yx) − t̂_yx)²`` and ``(t_hw − log(gt_hw/anchor_hw))²``
    with darknet's ``(2 − gt_w·gt_h)`` small-box boost; objectness target =
-   IoU(pred, gt) in "rescore" mode (else 1); class MSE over softmax probs vs
-   one-hot.
+   IoU(pred, gt) in "rescore" mode (else 1); class term reports the squared
+   error of softmax probs vs one-hot while its *gradient* is darknet's delta
+   ``prob − truth`` applied straight to the logits (region_layer's backward
+   copies deltas without a softmax Jacobian — see ``LossConfig.class_grad``).
 3. **Negative term** — anchors whose best IoU against *any* gt is below the
    ignore threshold (darknet 0.6) get objectness pushed to 0; anchors above
    the threshold but unassigned are ignored.
@@ -48,6 +50,17 @@ class LossConfig(NamedTuple):
     rescore: bool = True
     coord_boost: bool = True   # darknet's (2 - w*h) small-box scaling
     warmup_seen: int = 12800
+    # Class-term gradient semantics (the VALUE is the squared error either way):
+    #   "darknet" — the region layer's delta ``scale*(truth - prob)`` is written
+    #     straight onto the logits (darknet's backward copies l.delta without a
+    #     softmax Jacobian), so the effective gradient is the cross-entropy one,
+    #     ``prob - truth``: O(1) at the uniform plateau.
+    #   "mse" — true MSE backpropped through the softmax Jacobian: the
+    #     true-class gradient is ~2·p_true·(1-p_true)² — O(1/C) at the uniform
+    #     plateau and vanishing exactly where the true class is suppressed.
+    #     Measurably untrainable at COCO's C=80 (cls flat at the uniform
+    #     plateau for 6000 steps — see DEVNOTES round-5 session 11).
+    class_grad: str = "darknet"
 
 
 def _image_loss(raw, anchors, gt_yx_min, gt_yx_max, gt_cls, gt_valid, seen, cfg: LossConfig):
@@ -119,7 +132,17 @@ def _image_loss(raw, anchors, gt_yx_min, gt_yx_max, gt_cls, gt_valid, seen, cfg:
     coord = jnp.sum(pos_f * boost_t * (
         jnp.sum((sig_yx - tyx_t) ** 2, axis=-1) + jnp.sum((t_hw - thw_t) ** 2, axis=-1)))
     obj = jnp.sum(pos_f * (sig_o - obj_t) ** 2)
-    cls_loss = jnp.sum(pos_f[:, None] * (prob - cls_t) ** 2)
+    if cfg.class_grad == "darknet":
+        # darknet region-layer semantics: the reported cost is the squared
+        # error of the softmax probs, but the delta applied to the logits is
+        # ``prob - truth`` itself (no softmax Jacobian) — the cross-entropy
+        # gradient.  Built with the straight-through surrogate: value from
+        # the stop_gradient term, gradient from the logit·delta term.
+        delta = jax.lax.stop_gradient(pos_f[:, None] * (prob - cls_t))  # (N, C)
+        surrogate = jnp.sum(x[:, 5:] * delta)
+        cls_loss = jnp.sum(delta ** 2) + surrogate - jax.lax.stop_gradient(surrogate)
+    else:
+        cls_loss = jnp.sum(pos_f[:, None] * (prob - cls_t) ** 2)
 
     # negatives: best IoU of each predicted box vs any valid gt < threshold
     full_iou = iou_matrix(p_min, p_max, gt_yx_min, gt_yx_max)  # (N, G)
