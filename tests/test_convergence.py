@@ -34,3 +34,69 @@ def test_overfit_reaches_full_map_at_iou03(workspace, capsys):
 
 # reuse the synthetic workspace fixture
 from test_cli_end_to_end import workspace  # noqa: E402,F401
+
+
+def test_c80_class_loss_escapes_plateau(tmp_path):
+    """Integrated regression for the round-5 coco80 postmortem: at C=80 the
+    real train CLI's `cls` scalar must leave the uniform-softmax plateau
+    (flat for 6000 TPU steps under the old MSE-through-softmax gradient).
+    Trains Tiny on a small 80-class COCO-format set at 64 px and checks the
+    logged cls trend — loss-level, so it stays CPU-affordable."""
+    from yolojax.cli.cache import main as cache_main
+    from yolojax.cli.train import main as train_main
+    from yolojax.data.synth import generate_coco, make_classes
+
+    root = str(tmp_path)
+    data_root = generate_coco(root, n_images=48, num_classes=80)
+    names, _ = make_classes(80)
+    category = os.path.join(root, "category80")
+    with open(category, "w") as f:
+        f.write("\n".join(names))
+    overlay = os.path.join(root, "c80.ini")
+    with open(overlay, "w") as f:
+        f.write(f"""[config]
+root = {root}/artifacts
+[cache]
+datasets = yolojax.data.coco
+coco_root = {data_root}
+category = {category}
+[model]
+name = c80
+dnn = yolojax.models.darknet.Tiny
+dtype = float32
+[data]
+batch_size = 4
+max_boxes = 10
+canvas = 160
+sizes = 64,64
+workers = 2
+[train]
+learning_rate = 3e-3
+clip = 5.0
+multi_scale_min = 64
+multi_scale_max = 64
+prewarm = 0
+warmup_seen = 0
+seed = 0
+[transform]
+train =
+[summary]
+scalar = 25
+histogram = 1000000
+image = 1000000
+""")
+    cfg = ["-c", os.path.join(os.path.dirname(__file__), "..", "config.ini"),
+           overlay]
+    assert cache_main(cfg) == 0
+    assert train_main(cfg + ["--steps", "150"]) == 0
+    scalars = os.path.join(root, "artifacts", "model", "category80", "Tiny",
+                           "c80", "scalars.jsonl")
+    rows = [json.loads(l) for l in open(scalars)]
+    first = rows[0]["cls"]
+    last = rows[-1]["cls"]
+    # calibration run (r5 s11): 3.02 @25 -> 0.80 @100 -> 0.15 @150; the old
+    # MSE-through-softmax gradient sat flat at ~4 for 6000 TPU steps
+    assert last < 0.3 * first, (first, last)
+
+
+import numpy as np  # noqa: E402
