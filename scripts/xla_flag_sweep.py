@@ -32,6 +32,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # but is cheap to measure.
 CANDIDATES: list[tuple[str, str]] = [
     ("baseline", ""),
+    # validity canary: an absurdly small scoped-VMEM cap must visibly change
+    # behavior (error or large slowdown) IF flags reach the compiler behind
+    # the axon tunnel — a canary ≈ baseline means the whole sweep is void
+    # (flags silently dropped), not that the real candidates are no-ops
+    ("canary_vmem128k", "--xla_tpu_scoped_vmem_limit_kib=128"),
     ("vmem48m", "--xla_tpu_scoped_vmem_limit_kib=49152"),
     ("vmem64m", "--xla_tpu_scoped_vmem_limit_kib=65536"),
     ("vmem96m", "--xla_tpu_scoped_vmem_limit_kib=98304"),
