@@ -191,8 +191,8 @@ def test_detect_cli(workspace):
 
 def test_detect_cli_video(workspace):
     """Video-file input drives the same frame loop as the camera path and
-    writes one annotated video with -o (the loop the camera shares is
-    otherwise untestable in this sandbox)."""
+    writes one annotated video with -o (the camera branch itself is covered
+    by test_detect_cli_camera with a faked capture)."""
     import cv2
 
     from yolojax.cli.detect import main
@@ -213,6 +213,54 @@ def test_detect_cli_video(workspace):
         frames += 1
     cap.release()
     assert frames == 3
+
+
+def test_detect_cli_camera(workspace, monkeypatch):
+    """Integer input drives the camera branch (cli/detect.py: the
+    ``input.isdigit()`` arm) through the real CLI with ``cv2.VideoCapture``
+    faked to serve synthetic frames — the only part a sandbox cannot test is
+    the physical device, not the code path."""
+    import cv2
+
+    from yolojax.cli.detect import main
+
+    root, cfg = workspace
+    frames = [cv2.imread(str(root / "VOC2007" / "JPEGImages" / f"{i:06d}.jpg"))
+              for i in range(3)]
+    opened = []
+
+    class FakeCamera:
+        def __init__(self, index):
+            assert index == 0  # detect.py must pass the parsed camera index
+            self._n = 0
+            opened.append(self)
+
+        def read(self):
+            if self._n >= len(frames):
+                return False, None
+            self._n += 1
+            return True, frames[self._n - 1]
+
+        def get(self, prop):
+            return 10.0 if prop == cv2.CAP_PROP_FPS else 0.0
+
+        def release(self):
+            self.released = True
+
+    real_capture = cv2.VideoCapture
+    monkeypatch.setattr(
+        cv2, "VideoCapture",
+        lambda arg: FakeCamera(arg) if isinstance(arg, int) else real_capture(arg))
+
+    out = str(root / "cam.avi")
+    assert main(cfg + ["--size", "64", "-o", out, "0"]) == 0
+    assert opened and opened[0].released
+    cap = real_capture(out)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    cap.release()
+    assert n == 3
 
 
 def test_demo_data_cli(workspace):
