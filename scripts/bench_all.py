@@ -39,10 +39,14 @@ JOBS = [
                     "BENCH_ITERS": "10", "BENCH_E2E_DECOMP": "1"}),
     # same production loop with the device-resident dataset cache: the
     # working set uploads once and batches gather on-device, so e2e
-    # converges to the device rate even behind a starved host/wire
+    # converges to the device rate even behind a starved host/wire.
+    # Like E2E, the headline is the PIPELINED loop (gather k+1 dispatches
+    # while step k computes); _DECOMP is its serialized attribution pair.
     ("E2E_DEVDATA", {"BENCH_MODE": "e2e", "BENCH_BATCH": "32",
-                     "BENCH_ITERS": "30", "BENCH_E2E_DEVDATA": "1",
-                     "BENCH_E2E_DECOMP": "1"}),
+                     "BENCH_ITERS": "30", "BENCH_E2E_DEVDATA": "1"}),
+    ("E2E_DEVDATA_DECOMP", {"BENCH_MODE": "e2e", "BENCH_BATCH": "32",
+                            "BENCH_ITERS": "30", "BENCH_E2E_DEVDATA": "1",
+                            "BENCH_E2E_DECOMP": "1"}),
     # post-bf16-augment train batch re-sweep (VERDICT r3 #5: the r1 sweep
     # 479/678/881/897 @B=32..256 predates the NMS rework + bf16 augment)
     ("TRAIN_B192", {"BENCH_MODE": "train", "BENCH_BATCH": "192"}),
