@@ -29,7 +29,11 @@ BASELINE_FPS_BY_SIZE = {288: 91.0, 320: 91.0, 416: 67.0, 544: 40.0, 608: 40.0}
 BASELINE_FPS = BASELINE_FPS_BY_SIZE[416]
 
 
-def bench_infer(batch: int, iters: int, size: int = 416) -> float:
+def _make_infer_run(batch: int, size: int = 416):
+    """Build the fused-detect dispatch closure shared by bench_infer and
+    scripts/sustained_bench.py: returns ``(run, folded, images, REPEAT)``
+    where ``float(run(folded, images))`` executes REPEAT chained in-graph
+    detect iterations and fetching the scalar forces completion."""
     import jax
 
     from __graft_entry__ import _flagship
@@ -101,6 +105,11 @@ def bench_infer(batch: int, iters: int, size: int = 416) -> float:
 
     rng = np.random.default_rng(0)
     images = jax.device_put(rng.uniform(0, 1, (batch, size, size, 3)).astype(np.float32))
+    return run, folded, images, REPEAT
+
+
+def bench_infer(batch: int, iters: int, size: int = 416) -> float:
+    run, folded, images, REPEAT = _make_infer_run(batch, size)
     float(run(folded, images))  # compile + warm
     float(run(folded, images))
     t0 = time.perf_counter()
